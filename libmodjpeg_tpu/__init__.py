@@ -1,0 +1,130 @@
+"""libmodjpeg_tpu — TPU-native JPEG DCT-domain compositing engine.
+
+A from-scratch reimplementation of the capabilities of libmodjpeg
+(https://github.com/ioppermann/libmodjpeg) designed TPU-first:
+
+* a from-scratch parallel C++ entropy codec (restart-marker-segmented
+  Huffman/arithmetic decode + encode) replaces libjpeg delegation;
+* dequantize → masked DCT-domain compose → requantize run as dense batched
+  JAX/XLA/Pallas kernels over 8x8 coefficient blocks (Jonsson ICIP'97
+  masked composition, computed as batched 8x8 matmuls on the MXU);
+* batches and MCU tile grids shard over a `jax.sharding.Mesh`.
+
+Public API mirrors the mj_* lifecycle of the reference
+(/root/reference/src/libmodjpeg.h:129-149) in idiomatic Python.
+"""
+
+from .constants import (  # noqa: F401
+    ALIGN_BOTTOM,
+    ALIGN_CENTER,
+    ALIGN_LEFT,
+    ALIGN_RIGHT,
+    ALIGN_TOP,
+    BLEND_FULL,
+    BLEND_NONE,
+    BLEND_NONUNIFORM,
+    COLORSPACE_GRAYSCALE,
+    COLORSPACE_GRAYSCALEA,
+    COLORSPACE_RGB,
+    COLORSPACE_RGBA,
+    COLORSPACE_YCC,
+    COLORSPACE_YCCA,
+    OPTION_ARITHMETRIC,
+    OPTION_NONE,
+    OPTION_OPTIMIZE,
+    OPTION_PROGRESSIVE,
+    VERSION_STR,
+)
+from .errors import (  # noqa: F401
+    DecodeError,
+    DroponDimensionsError,
+    EncodeError,
+    FileIOError,
+    ImageSizeError,
+    ModJpegError,
+    NullDataError,
+    UnsupportedColorspaceError,
+    UnsupportedFiletypeError,
+)
+from .model import CoefImage, CompiledDropon, Dropon  # noqa: F401
+
+__version__ = VERSION_STR
+
+
+def read_jpeg(source, max_pixel: int = 0) -> "CoefImage":
+    """Read a JPEG (path or bytes) into coefficient space.
+
+    Mirrors mj_read_jpeg_from_file/_memory (image.c:33,115) including the
+    max_pixel anti-DoS guard (image.c:79-82) and the colorspace guard
+    (image.c:84-92).
+    """
+    from .jpegio import read_jpeg as _impl
+
+    return _impl(source, max_pixel=max_pixel)
+
+
+def write_jpeg(img: "CoefImage", dest=None, options: int = 0):
+    """Write a CoefImage to a path (dest=str) or return bytes (dest=None).
+
+    Mirrors mj_write_jpeg_to_file/_memory (image.c:136,211); options are
+    OPTION_* flags (image.c:170-189).
+    """
+    from .jpegio import write_jpeg as _impl
+
+    return _impl(img, dest, options=options)
+
+
+def read_dropon(source, mask=None, blend: int = BLEND_FULL) -> "Dropon":
+    """Load a dropon from a PNG/JPEG path or bytes, with optional JPEG mask.
+
+    Mirrors mj_read_dropon_from_file/_memory (dropon.c:34,66).
+    """
+    from .dropon import read_dropon as _impl
+
+    return _impl(source, mask=mask, blend=blend)
+
+
+def read_dropon_from_raw(rawdata, colorspace: int, width: int, height: int,
+                         blend: int = BLEND_FULL) -> "Dropon":
+    """Mirrors mj_read_dropon_from_raw (dropon.c:203)."""
+    from .dropon import read_dropon_from_raw as _impl
+
+    return _impl(rawdata, colorspace, width, height, blend)
+
+
+def compose(img: "CoefImage", dropon: "Dropon", align: int = 0,
+            offset_x: int = 0, offset_y: int = 0) -> "CoefImage":
+    """Compose a dropon onto an image entirely in the DCT domain.
+
+    Mirrors mj_compose (compose.c:33): placement from align flags + offsets,
+    crop against borders, MCU-grid alignment via zero-alpha padding, masked
+    Jonsson blend.  Returns a new CoefImage (functional style; the reference
+    mutates in place).
+    """
+    from .compose import compose as _impl
+
+    return _impl(img, dropon, align, offset_x, offset_y)
+
+
+def effect_grayscale(img: "CoefImage") -> "CoefImage":
+    from .effects import grayscale
+
+    return grayscale(img)
+
+
+def effect_pixelate(img: "CoefImage") -> "CoefImage":
+    from .effects import pixelate
+
+    return pixelate(img)
+
+
+def effect_tint(img: "CoefImage", cb_value: int, cr_value: int) -> "CoefImage":
+    from .effects import tint
+
+    return tint(img, cb_value, cr_value)
+
+
+def effect_luminance(img: "CoefImage", value: int) -> "CoefImage":
+    from .effects import luminance
+
+    return luminance(img, value)

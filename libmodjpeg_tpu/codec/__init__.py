@@ -1,0 +1,262 @@
+"""ctypes binding to the native entropy codec (libmjtcodec.so).
+
+The native library is the framework's only non-Python component: a
+from-scratch T.81 entropy codec (see native/codec.cpp).  It is built on first
+use with g++ if the shared object is missing or stale.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .. import constants as C
+from ..errors import DecodeError, EncodeError
+from ..model import CoefImage, ComponentInfo, Sampling
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libmjtcodec.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build_native() -> None:
+    sources = [
+        os.path.join(_NATIVE_DIR, f)
+        for f in ("codec.cpp", "decoder.inc", "arith.inc", "encoder.inc", "api.inc")
+    ]
+    if os.path.exists(_SO_PATH):
+        so_mtime = os.path.getmtime(_SO_PATH)
+        if all(os.path.getmtime(s) <= so_mtime for s in sources):
+            return
+    subprocess.run(
+        ["make", "-s", "-C", _NATIVE_DIR],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        _build_native()
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.mjt_decode.restype = ctypes.c_void_p
+        lib.mjt_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        lib.mjt_free_image.argtypes = [ctypes.c_void_p]
+        lib.mjt_get_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+        lib.mjt_get_comp_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mjt_get_coefs.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int16),
+        ]
+        lib.mjt_get_qtable.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mjt_get_marker_len.restype = ctypes.c_int64
+        lib.mjt_get_marker_len.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.mjt_get_marker.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.mjt_free_buffer.argtypes = [ctypes.c_void_p]
+        lib.mjt_encode.restype = ctypes.c_int32
+        lib.mjt_encode.argtypes = [
+            ctypes.c_int32,  # width
+            ctypes.c_int32,  # height
+            ctypes.c_int32,  # ncomps
+            ctypes.POINTER(ctypes.c_int32),  # comp_meta
+            ctypes.POINTER(ctypes.c_uint16),  # qtables
+            ctypes.POINTER(ctypes.c_uint8),  # qt_present
+            ctypes.POINTER(ctypes.c_int16),  # coefs
+            ctypes.c_int32,  # options
+            ctypes.c_int32,  # restart_interval
+            ctypes.c_int32,  # nthreads
+            ctypes.c_char_p,  # markers blob
+            ctypes.c_int64,  # markers len
+            ctypes.POINTER(ctypes.c_void_p),  # out buf
+            ctypes.POINTER(ctypes.c_int64),  # out len
+            ctypes.c_char_p,  # errbuf
+            ctypes.c_int64,  # errbuf len
+        ]
+        _lib = lib
+        return lib
+
+
+def decode(data: bytes, nthreads: int = 0) -> CoefImage:
+    """Decode a JPEG bitstream into a CoefImage (coefficients + metadata)."""
+    lib = _load()
+    errbuf = ctypes.create_string_buffer(512)
+    handle = lib.mjt_decode(data, len(data), nthreads, errbuf, len(errbuf))
+    if not handle:
+        raise DecodeError(errbuf.value.decode("utf-8", "replace"))
+    try:
+        info = (ctypes.c_int32 * 8)()
+        lib.mjt_get_info(handle, info)
+        width, height, ncomps, jcs, prog, arith, ri, nmarkers = list(info)
+
+        components = []
+        coefs = []
+        max_h = max_v = 1
+        for c in range(ncomps):
+            ci = (ctypes.c_int32 * 8)()
+            lib.mjt_get_comp_info(handle, c, ci)
+            comp_id, h, v, qno, wib, hib, pw, ph = list(ci)
+            components.append(
+                ComponentInfo(
+                    component_id=comp_id,
+                    h_samp=h,
+                    v_samp=v,
+                    quant_tbl_no=qno,
+                    width_in_blocks=wib,
+                    height_in_blocks=hib,
+                    padded_width_in_blocks=pw,
+                    padded_height_in_blocks=ph,
+                )
+            )
+            max_h = max(max_h, h)
+            max_v = max(max_v, v)
+            arr = np.empty((ph, pw, 8, 8), dtype=np.int16)
+            lib.mjt_get_coefs(
+                handle, c, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+            )
+            coefs.append(arr)
+
+        quant_tables = {}
+        for t in range(4):
+            tbl = np.empty((8, 8), dtype=np.uint16)
+            present = ctypes.c_int32(0)
+            lib.mjt_get_qtable(
+                handle,
+                t,
+                tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                ctypes.byref(present),
+            )
+            if present.value:
+                quant_tables[t] = tbl
+
+        markers = []
+        for i in range(nmarkers):
+            mlen = lib.mjt_get_marker_len(handle, i)
+            buf = (ctypes.c_uint8 * max(mlen, 1))()
+            code = ctypes.c_int32(0)
+            lib.mjt_get_marker(handle, i, ctypes.byref(code), buf)
+            markers.append((code.value, bytes(buf[:mlen])))
+
+        return CoefImage(
+            width=width,
+            height=height,
+            jpeg_color_space=jcs,
+            components=components,
+            coefs=coefs,
+            quant_tables=quant_tables,
+            sampling=Sampling(max_h_samp=max_h, max_v_samp=max_v),
+            markers=markers,
+            progressive=bool(prog),
+            arithmetic=bool(arith),
+            restart_interval=ri,
+        )
+    finally:
+        lib.mjt_free_image(handle)
+
+
+def encode(
+    img: CoefImage,
+    options: int = 0,
+    restart_interval: int | None = None,
+    nthreads: int = 0,
+) -> bytes:
+    """Encode a CoefImage back to a JPEG bitstream.
+
+    ``options`` is an OR of C.OPTION_* flags (optimize/progressive/arithmetic,
+    matching image.c:170-189 semantics).  ``restart_interval=None`` preserves
+    the image's own interval; pass 0 to strip restart markers.
+    """
+    lib = _load()
+    ncomps = img.num_components
+    comp_meta = np.zeros(4 * ncomps, dtype=np.int32)
+    total = 0
+    for c, ci in enumerate(img.components):
+        comp_meta[c * 4 : c * 4 + 4] = [
+            ci.component_id,
+            ci.h_samp,
+            ci.v_samp,
+            ci.quant_tbl_no,
+        ]
+        total += ci.padded_height_in_blocks * ci.padded_width_in_blocks * 64
+
+    coefs = np.empty(total, dtype=np.int16)
+    off = 0
+    for c, ci in enumerate(img.components):
+        n = ci.padded_height_in_blocks * ci.padded_width_in_blocks * 64
+        arr = np.ascontiguousarray(img.coefs[c], dtype=np.int16)
+        coefs[off : off + n] = arr.reshape(-1)
+        off += n
+
+    qtables = np.zeros((4, 64), dtype=np.uint16)
+    qt_present = np.zeros(4, dtype=np.uint8)
+    for t, tbl in img.quant_tables.items():
+        qtables[t] = np.asarray(tbl, dtype=np.uint16).reshape(-1)
+        qt_present[t] = 1
+
+    blob = bytearray()
+    for code, payload in img.markers:
+        blob += int(code).to_bytes(2, "big")
+        blob += len(payload).to_bytes(4, "big")
+        blob += payload
+    blob = bytes(blob)
+
+    ri = img.restart_interval if restart_interval is None else restart_interval
+
+    out_buf = ctypes.c_void_p()
+    out_len = ctypes.c_int64()
+    errbuf = ctypes.create_string_buffer(512)
+    rc = lib.mjt_encode(
+        img.width,
+        img.height,
+        ncomps,
+        comp_meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        qt_present.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        coefs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        int(options),
+        int(ri),
+        int(nthreads),
+        blob,
+        len(blob),
+        ctypes.byref(out_buf),
+        ctypes.byref(out_len),
+        errbuf,
+        len(errbuf),
+    )
+    if rc != 0:
+        raise EncodeError(errbuf.value.decode("utf-8", "replace"))
+    try:
+        return ctypes.string_at(out_buf, out_len.value)
+    finally:
+        lib.mjt_free_buffer(out_buf)

@@ -1,0 +1,66 @@
+"""Test configuration.
+
+Tests run on CPU with an 8-device virtual mesh so sharding logic is exercised
+without TPU hardware (SURVEY.md §4's multi-host test strategy).  Must run
+before jax is imported anywhere.
+"""
+
+import os
+import subprocess
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_IMAGES = "/root/reference/src/contrib/images"
+REFBUILD = os.path.join(REPO, ".refbuild")
+
+
+def _ensure_refbuild():
+    """Build the reference modjpeg CLI + coefficient dump oracle (test-only)."""
+    modjpeg = os.path.join(REFBUILD, "modjpeg-dynamic")
+    dump = os.path.join(REFBUILD, "dump_coefs")
+    if not os.path.exists(modjpeg):
+        os.makedirs(REFBUILD, exist_ok=True)
+        subprocess.run(
+            ["cmake", "-DCMAKE_BUILD_TYPE=Release", "/root/reference"],
+            cwd=REFBUILD, check=True, capture_output=True)
+        subprocess.run(["make"], cwd=REFBUILD, check=True, capture_output=True)
+    if not os.path.exists(dump):
+        subprocess.run(
+            ["gcc", "-O2", os.path.join(REPO, "tools", "dump_coefs.c"),
+             "-ljpeg", "-o", dump],
+            check=True, capture_output=True)
+    return modjpeg, dump
+
+
+@pytest.fixture(scope="session")
+def ref_tools():
+    """(modjpeg_cli_path, dump_coefs_path) built from the reference sources."""
+    return _ensure_refbuild()
+
+
+@pytest.fixture(scope="session")
+def fixture_jpeg():
+    with open(os.path.join(REF_IMAGES, "image.jpg"), "rb") as f:
+        return f.read()
+
+
+@pytest.fixture(scope="session")
+def fixture_dropon_png():
+    with open(os.path.join(REF_IMAGES, "dropon.png"), "rb") as f:
+        return f.read()
+
+
+@pytest.fixture(scope="session")
+def fixture_dropon_jpg():
+    with open(os.path.join(REF_IMAGES, "dropon.jpg"), "rb") as f:
+        return f.read()
+
+
+@pytest.fixture(scope="session")
+def fixture_mask_jpg():
+    with open(os.path.join(REF_IMAGES, "mask.jpg"), "rb") as f:
+        return f.read()
