@@ -1,0 +1,125 @@
+"""Masked DCT-domain composition kernels.
+
+The reference implements R. Jonsson's masked composition
+y = x1 + W (*) (x0 - x1) with ~1100 lines of unrolled scalar C
+(convolve.c:29-1096): for each mask frequency (k, l) it applies a separable
+pair of sparse 8x8 operators.  Reading off that structure, the per-frequency
+operator is S_k (rows) x S_l (columns) where
+
+  S_0 = 2*I
+  S_n[m, .] couples x[|m-n|] (weight sqrt(2) when the index is 0) and the
+  reflectively folded x[m+n]  (+x[m+n] for m+n<8, nothing at m+n=8,
+  -x[16-(m-n)] past the fold), and S_n[0, n] = sqrt(2)
+
+— the DCT-II product identity.  The full blend is therefore
+
+  Y = sum_{k,l} w[k,l] * S_k @ X @ S_l^T
+
+which we evaluate as three batched einsums (~12k MACs per block, all
+MXU-shaped) instead of the reference's O(64^2) scalar pass per block
+(compose.c:300-312).  Identity check: a fully-opaque mask makes the total
+operator the identity, so Y == X exactly (tested in test_compose_math.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SQRT2 = float(np.sqrt(2.0))
+
+
+def basis_matrices_np() -> np.ndarray:
+    """The eight 1-D convolution operators S_n, shape [8, 8, 8] (n, m, j)."""
+    S = np.zeros((8, 8, 8), dtype=np.float64)
+    S[0] = 2.0 * np.eye(8)
+    for n in range(1, 8):
+        for m in range(8):
+            if m == 0:
+                S[n, 0, n] = SQRT2
+                continue
+            j1 = abs(m - n)
+            S[n, m, j1] += SQRT2 if j1 == 0 else 1.0
+            p = m + n
+            if p < 8:
+                S[n, m, p] += 1.0
+            elif p > 8:
+                S[n, m, 16 - p] -= 1.0
+    return S
+
+
+_S32 = jnp.asarray(basis_matrices_np(), dtype=jnp.float32)
+
+
+@jax.jit
+def blend_blocks(x_image: jax.Array, x_dropon: jax.Array,
+                 w_alpha: jax.Array) -> jax.Array:
+    """Masked blend of batched dequantized blocks.
+
+    x_image:  [N, 8, 8] float32 dequantized image coefficients (x1)
+    x_dropon: [N, 8, 8] float32 dropon coefficients (x0)
+    w_alpha:  [N, 8, 8] float32 normalized mask-DCT weights w'
+    Returns   [N, 8, 8] float32: x1 + sum_{kl} w'[k,l] S_k (x0-x1) S_l^T
+    """
+    X = x_dropon - x_image                       # compose.c:289-298
+    # M[n,k] = sum_l w[n,k,l] * S_l
+    M = jnp.einsum("nkl,lcd->nkcd", w_alpha, _S32,
+                   preferred_element_type=jnp.float32)
+    # P[n,k] = S_k @ X[n]
+    P = jnp.einsum("kab,nbc->nkac", _S32, X,
+                   preferred_element_type=jnp.float32)
+    # Y[n] = sum_k P[n,k] @ M[n,k]^T
+    Y = jnp.einsum("nkac,nkdc->nad", P, M,
+                   preferred_element_type=jnp.float32)
+    return x_image + Y
+
+
+@jax.jit
+def requant_trunc(values: jax.Array, quant: jax.Array) -> jax.Array:
+    """C-style truncating integer division (compose.c:327-336 semantics).
+
+    values: [..., 8, 8] int32; quant: [8, 8] uint16/int32.
+    """
+    q = quant.astype(jnp.int32)
+    v = values.astype(jnp.int32)
+    return jnp.sign(v) * (jnp.abs(v) // q)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def compose_region(comp_grid: jax.Array, dropon_blocks: jax.Array,
+                   alpha_weights: jax.Array, quant: jax.Array,
+                   row0: jax.Array, col0: jax.Array) -> jax.Array:
+    """Compose one component: blend a block region into the coefficient grid.
+
+    comp_grid:     [H, W, 8, 8] int16 quantized coefficients (whole component)
+    dropon_blocks: [h, w, 8, 8] float32 compiled dropon DCT (Q100 scale)
+    alpha_weights: [h, w, 8, 8] float32 normalized mask weights
+    quant:         [8, 8] quantization table
+    row0, col0:    region origin in blocks (block_y*v_samp, block_x*h_samp —
+                   compose.c:264-265)
+
+    Pipeline per touched block (compose.c:237-342): dequantize, masked blend,
+    add truncated correction, requantize with truncating division.
+    Computation is int32/float32 (the reference's in-place int16 dequantize
+    can overflow, see SURVEY.md quirks registry; we deviate deliberately).
+    """
+    h, w = dropon_blocks.shape[:2]
+    region = jax.lax.dynamic_slice(
+        comp_grid, (row0, col0, 0, 0), (h, w, 8, 8)).astype(jnp.int32)
+    qf = quant.astype(jnp.float32)
+    x1 = region.astype(jnp.float32) * qf        # dequantize
+    n = h * w
+    y = blend_blocks(x1.reshape(n, 8, 8),
+                     dropon_blocks.reshape(n, 8, 8).astype(jnp.float32),
+                     alpha_weights.reshape(n, 8, 8).astype(jnp.float32))
+    y = y.reshape(h, w, 8, 8)
+    # image += (int)Y with C truncation-toward-zero (compose.c:315-324):
+    # reconstruct the correction Y' = y - x1 then truncate
+    corr = jnp.fix(y - x1.reshape(h, w, 8, 8)).astype(jnp.int32)
+    dequant_int = region * quant.astype(jnp.int32)
+    out = requant_trunc(dequant_int + corr, quant)
+    out = jnp.clip(out, -32768, 32767).astype(jnp.int16)
+    return jax.lax.dynamic_update_slice(comp_grid, out, (row0, col0, 0, 0))

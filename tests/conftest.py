@@ -7,9 +7,22 @@ before jax is imported anywhere.
 
 import os
 import subprocess
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# This box globally sets JAX_PLATFORMS=axon (TPU tunnel) and a sitecustomize
+# imports jax at interpreter startup.  Backends are not initialized until
+# first use, so switching the platform in-process still works — do it before
+# any test touches jax.  XLA_FLAGS must be set before backend init to get
+# the 8-device virtual CPU mesh for sharding tests.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+sys.path.insert(0, _REPO)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
