@@ -101,7 +101,7 @@ def compose(img: "CoefImage", dropon: "Dropon", align: int = 0,
     Jonsson blend.  Returns a new CoefImage (functional style; the reference
     mutates in place).
     """
-    from .compose import compose as _impl
+    from .composer import compose as _impl
 
     return _impl(img, dropon, align, offset_x, offset_y)
 

@@ -1,0 +1,201 @@
+"""modjpeg-compatible CLI (contrib/modjpeg.c parity).
+
+Flag surface and ORDER-DEPENDENT evaluation mirror the reference's getopt
+state machine (modjpeg.c:52-179): `-i` loads, `-d` composes immediately at
+the current position state, effects apply immediately, `-o` writes with the
+accumulated options.  Multiple dropons/outputs per invocation work.
+
+Quirk preserved: the default position is top-left (modjpeg.c:53) even though
+the reference's --help claims center.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from . import constants as C
+from . import effects as fx
+from .composer import compose
+from .dropon import read_dropon
+from .errors import ModJpegError
+from .jpegio import read_jpeg, write_jpeg
+
+HELP = """\
+modjpeg (libmodjpeg_tpu)
+
+The order for the options is important, i.e. a dropon can't be applied without
+loading an image first.
+
+Options:
+
+\t--input, -i file
+\t\tPath to the image to be modified. The image needs to be a JPEG.
+
+\t--ouput, -o file
+\t\tPath to a file to store the modified image in.
+
+\t--dropon, -d file[,mask]
+\t\tPath to the image that should be used as dropon. The path to the mask is optional.
+
+\t--position, -p [t|b][c][l|r]
+\t\tThe position of the dropon. t = top, b = bottom, l = left, r = right, c = center. Default: center
+
+\t--offset, -m [horizontal],[vertical]
+\t\tThe offset to the given position in pixels. Default: 0,0
+
+\t--luminance, -y value
+\t\tChanges the brightness of the image according to the value.
+
+\t--tintblue, -b value
+\t\tColor the image (negative: yellow, positive: blue).
+
+\t--tintred, -r value
+\t\tColor the image (negative: green, positive: red).
+
+\t--pixelate, -x
+\t\tPixelate the image into 8x8 blocks.
+
+\t--grayscale, -g
+\t\tReduce the image to grayscale.
+
+\t--optimize, -O
+\t\tOptimize the Huffman tables on storing the output image.
+
+\t--progressive, -P
+\t\tStore the output image in progressive mode.
+
+\t--arithmetric, -A
+\t\tUse arithmetric coding instead of Huffman coding.
+"""
+
+_LONG = {
+    "--input": "-i", "--output": "-o", "--dropon": "-d", "--position": "-p",
+    "--offset": "-m", "--luminance": "-y", "--tintblue": "-b",
+    "--tintred": "-r", "--pixelate": "-x", "--grayscale": "-g",
+    "--progressive": "-P", "--optimize": "-O", "--arithmetric": "-A",
+    "--help": "-h",
+}
+_TAKES_ARG = {"-i", "-o", "-d", "-p", "-m", "-y", "-b", "-r"}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    img = None
+    position = C.ALIGN_TOP | C.ALIGN_LEFT  # modjpeg.c:53
+    offset_x = offset_y = 0
+    options = 0
+
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        i += 1
+        if arg.startswith("--") and "=" in arg:
+            name, _, val = arg.partition("=")
+            arg = _LONG.get(name, name)
+            argv.insert(i, val)
+        elif arg in _LONG:
+            arg = _LONG[arg]
+        if arg in _TAKES_ARG:
+            if i >= len(argv):
+                print("Argument missing, use --help for more details",
+                      file=sys.stderr)
+                continue
+            val = argv[i]
+            i += 1
+        else:
+            val = None
+
+        try:
+            if arg == "-i":
+                img = read_jpeg(val)
+            elif arg == "-o":
+                if img is None:
+                    print(f"Can't write image to '{val}'", file=sys.stderr)
+                    return 1
+                write_jpeg(img, val, options=options)
+            elif arg == "-d":
+                if "," in val:
+                    dropon_path, mask_path = val.split(",", 1)
+                else:
+                    dropon_path, mask_path = val, None
+                try:
+                    d = read_dropon(dropon_path, mask=mask_path,
+                                    blend=C.BLEND_FULL)
+                except ModJpegError:
+                    print(f"Can't read dropon from '{dropon_path}'",
+                          file=sys.stderr)
+                    return 1
+                if img is None:
+                    print("Failed to apply the dropon onto the image",
+                          file=sys.stderr)
+                    return 1
+                img = compose(img, d, position, offset_x, offset_y)
+            elif arg == "-p":
+                if len(val) != 2:
+                    print("Invalid position, use --help for more details",
+                          file=sys.stderr)
+                    continue
+                position = 0
+                if val[0] == "t":
+                    position |= C.ALIGN_TOP
+                elif val[0] == "b":
+                    position |= C.ALIGN_BOTTOM
+                elif val[0] == "c":
+                    position |= C.ALIGN_CENTER
+                if val[1] == "l":
+                    position |= C.ALIGN_LEFT
+                elif val[1] == "r":
+                    position |= C.ALIGN_RIGHT
+                elif val[1] == "c":
+                    position |= C.ALIGN_CENTER
+            elif arg == "-m":
+                parts = val.split(",")
+                try:
+                    offset_x = int(parts[0]) if parts[0] else 0
+                except ValueError:
+                    offset_x = 0
+                if len(parts) > 1:
+                    try:
+                        offset_y = int(parts[1])
+                    except ValueError:
+                        offset_y = 0
+            elif arg == "-y":
+                if img is not None:
+                    img = fx.luminance(img, int(val))
+            elif arg == "-b":
+                if img is not None:
+                    img = fx.tint(img, int(val), 0)
+            elif arg == "-r":
+                if img is not None:
+                    img = fx.tint(img, 0, int(val))
+            elif arg == "-x":
+                if img is not None:
+                    img = fx.pixelate(img)
+            elif arg == "-g":
+                if img is not None:
+                    img = fx.grayscale(img)
+            elif arg == "-O":
+                options |= C.OPTION_OPTIMIZE
+            elif arg == "-P":
+                options |= C.OPTION_PROGRESSIVE
+            elif arg == "-A":
+                options |= C.OPTION_ARITHMETRIC
+            elif arg == "-h":
+                print(HELP, file=sys.stderr)
+                return 0
+            else:
+                print("Unknown option, use --help for more details",
+                      file=sys.stderr)
+        except ModJpegError as e:
+            if arg == "-i":
+                print(f"Can't read image from '{val}'", file=sys.stderr)
+            elif arg == "-o":
+                print(f"Can't write image to '{val}'", file=sys.stderr)
+            else:
+                print(f"error: {e}", file=sys.stderr)
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

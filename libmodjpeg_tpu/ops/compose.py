@@ -51,7 +51,10 @@ def basis_matrices_np() -> np.ndarray:
     return S
 
 
-_S32 = jnp.asarray(basis_matrices_np(), dtype=jnp.float32)
+@functools.lru_cache(maxsize=1)
+def _s32() -> np.ndarray:
+    # numpy, not jnp: avoids import-time backend init AND tracer caching
+    return basis_matrices_np().astype(np.float32)
 
 
 @jax.jit
@@ -65,11 +68,12 @@ def blend_blocks(x_image: jax.Array, x_dropon: jax.Array,
     Returns   [N, 8, 8] float32: x1 + sum_{kl} w'[k,l] S_k (x0-x1) S_l^T
     """
     X = x_dropon - x_image                       # compose.c:289-298
+    S = _s32()
     # M[n,k] = sum_l w[n,k,l] * S_l
-    M = jnp.einsum("nkl,lcd->nkcd", w_alpha, _S32,
+    M = jnp.einsum("nkl,lcd->nkcd", w_alpha, S,
                    preferred_element_type=jnp.float32)
     # P[n,k] = S_k @ X[n]
-    P = jnp.einsum("kab,nbc->nkac", _S32, X,
+    P = jnp.einsum("kab,nbc->nkac", S, X,
                    preferred_element_type=jnp.float32)
     # Y[n] = sum_k P[n,k] @ M[n,k]^T
     Y = jnp.einsum("nkac,nkdc->nad", P, M,
@@ -118,7 +122,7 @@ def compose_region(comp_grid: jax.Array, dropon_blocks: jax.Array,
     y = y.reshape(h, w, 8, 8)
     # image += (int)Y with C truncation-toward-zero (compose.c:315-324):
     # reconstruct the correction Y' = y - x1 then truncate
-    corr = jnp.fix(y - x1.reshape(h, w, 8, 8)).astype(jnp.int32)
+    corr = jnp.trunc(y - x1.reshape(h, w, 8, 8)).astype(jnp.int32)
     dequant_int = region * quant.astype(jnp.int32)
     out = requant_trunc(dequant_int + corr, quant)
     out = jnp.clip(out, -32768, 32767).astype(jnp.int16)

@@ -28,7 +28,12 @@ def dct_matrix_np() -> np.ndarray:
     return T
 
 
-_T32 = jnp.asarray(dct_matrix_np(), dtype=jnp.float32)
+@functools.lru_cache(maxsize=1)
+def _t32() -> np.ndarray:
+    # numpy, not jnp: a device constant created here could be cached as a
+    # tracer when first touched inside a jit trace; as numpy it embeds as a
+    # literal in each traced computation instead
+    return dct_matrix_np().astype(np.float32)
 
 
 @jax.jit
@@ -39,14 +44,16 @@ def fdct_blocks(pixels: jax.Array) -> jax.Array:
     Returns [..., 8, 8] float32 unquantized JPEG-scale coefficients.
     """
     x = pixels - 128.0
-    return jnp.einsum("ux,...xy,vy->...uv", _T32, x, _T32,
+    T = _t32()
+    return jnp.einsum("ux,...xy,vy->...uv", T, x, T,
                       preferred_element_type=jnp.float32)
 
 
 @jax.jit
 def idct_blocks(coefs: jax.Array) -> jax.Array:
     """Inverse DCT: [..., 8, 8] coefficients -> [..., 8, 8] pixel values."""
-    x = jnp.einsum("ux,...uv,vy->...xy", _T32, coefs, _T32,
+    T = _t32()
+    x = jnp.einsum("ux,...uv,vy->...xy", T, coefs, T,
                    preferred_element_type=jnp.float32)
     return x + 128.0
 
