@@ -1,0 +1,151 @@
+"""Batched compose: many same-geometry images, one (or per-image) dropon.
+
+The BASELINE.json config-3 workload: watermark a fleet of thumbnails with a
+logo, batch sharded over chips.  Each image is block-local, so the compose is
+embarrassingly parallel over the batch axis — no collectives on the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import constants as C
+from ..model import CoefImage, CompiledDropon, Dropon
+from ..ops.compose import blend_blocks, requant_trunc
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("row0", "col0"))
+def _compose_batch_component(grids: jax.Array, dropon_blocks: jax.Array,
+                             alpha_weights: jax.Array, quant: jax.Array,
+                             row0: int, col0: int) -> jax.Array:
+    """grids: [N, H, W, 8, 8] int16; dropon/alpha: [h, w, 8, 8] (broadcast
+    over the batch) or [N, h, w, 8, 8] per-image.  Static origin lets XLA
+    lower to a plain strided update, sharded over the batch axis."""
+    n = grids.shape[0]
+    h, w = dropon_blocks.shape[-4:-2]
+    region = grids[:, row0:row0 + h, col0:col0 + w].astype(jnp.int32)
+    qf = quant.astype(jnp.float32)
+    x1 = region.astype(jnp.float32) * qf
+    if dropon_blocks.ndim == 4:
+        dropon_b = jnp.broadcast_to(dropon_blocks, (n, h, w, 8, 8))
+        alpha_b = jnp.broadcast_to(alpha_weights, (n, h, w, 8, 8))
+    else:
+        dropon_b, alpha_b = dropon_blocks, alpha_weights
+    y = blend_blocks(x1.reshape(-1, 8, 8),
+                     dropon_b.reshape(-1, 8, 8).astype(jnp.float32),
+                     alpha_b.reshape(-1, 8, 8).astype(jnp.float32))
+    y = y.reshape(n, h, w, 8, 8)
+    corr = jnp.trunc(y - x1).astype(jnp.int32)
+    out = requant_trunc(region * quant.astype(jnp.int32) + corr, quant)
+    out = jnp.clip(out, -32768, 32767).astype(jnp.int16)
+    return grids.at[:, row0:row0 + h, col0:col0 + w].set(out)
+
+
+class BatchComposer:
+    """Reusable compiled-dropon compose over batches of same-geometry images.
+
+    Compile the dropon once against the first image's geometry, then apply to
+    any number of batches; with a mesh, batches shard over the "batch" axis.
+    """
+
+    def __init__(self, template: CoefImage, dropon: Dropon, align: int = 0,
+                 offset_x: int = 0, offset_y: int = 0,
+                 mesh: Optional[Mesh] = None):
+        from ..composer import compose as _  # noqa: F401 (placement parity)
+        from ..composer import compile_dropon
+
+        self.template = template
+        self.mesh = mesh
+        img = template
+        d = dropon
+        # placement math identical to composer.compose (compose.c:57-151)
+        if align & C.ALIGN_LEFT:
+            px = 0
+        elif align & C.ALIGN_RIGHT:
+            px = img.width - d.width
+        else:
+            px = img.width // 2 - d.width // 2
+        px += offset_x
+        if align & C.ALIGN_TOP:
+            py = 0
+        elif align & C.ALIGN_BOTTOM:
+            py = img.height - d.height
+        else:
+            py = img.height // 2 - d.height // 2
+        py += offset_y
+        crop_x = -px if px < 0 else 0
+        crop_w = d.width - crop_x
+        if crop_x > d.width or px > img.width:
+            crop_w = 0
+        elif px + crop_x + crop_w > img.width:
+            crop_w = img.width - crop_x - px
+        crop_y = -py if py < 0 else 0
+        crop_h = d.height - crop_y
+        if crop_y > d.height or py > img.height:
+            crop_h = 0
+        elif py + crop_y + crop_h > img.height:
+            crop_h = img.height - crop_y - py
+        self.noop = crop_w <= 0 or crop_h <= 0 or d.blend == C.BLEND_NONE
+        if self.noop:
+            return
+        bx = px % img.sampling.h_factor if px >= 0 else 0
+        by = py % img.sampling.v_factor if py >= 0 else 0
+        self.cd = compile_dropon(d, img, bx, by, crop_x, crop_y, crop_w, crop_h)
+        self.block_x = max(0, int(np.trunc(px / img.sampling.h_factor)))
+        self.block_y = max(0, int(np.trunc(py / img.sampling.v_factor)))
+        # device-resident compiled dropon + quant tables
+        self._dev_dropon = [jnp.asarray(b) for b in self.cd.image_blocks]
+        self._dev_alpha = [jnp.asarray(a) for a in self.cd.alpha_weights]
+        self._dev_quant = [jnp.asarray(template.quant_table_for(c))
+                           for c in range(len(self.cd.image_blocks))]
+
+    def compose_arrays(self, comp_batches: Sequence[jax.Array]) -> list:
+        """comp_batches[c]: [N, H, W, 8, 8] int16 device arrays (one per
+        component, matching the template geometry).  Returns updated arrays.
+        """
+        if self.noop:
+            return list(comp_batches)
+        out = []
+        for c, grids in enumerate(comp_batches):
+            ci = self.template.components[c]
+            out.append(_compose_batch_component(
+                grids, self._dev_dropon[c], self._dev_alpha[c],
+                self._dev_quant[c],
+                row0=self.block_y * ci.v_samp, col0=self.block_x * ci.h_samp))
+        return out
+
+    def put_batch(self, images: Sequence[CoefImage]) -> list:
+        """Stack host images into device batches (sharded if mesh given)."""
+        batches = []
+        for c in range(self.template.num_components):
+            arr = np.stack([im.coefs[c] for im in images])
+            if self.mesh is not None:
+                sh = NamedSharding(self.mesh, P("batch"))
+                batches.append(jax.device_put(arr, sh))
+            else:
+                batches.append(jnp.asarray(arr))
+        return batches
+
+
+def compose_batch(images: Sequence[CoefImage], dropon: Dropon, align: int = 0,
+                  offset_x: int = 0, offset_y: int = 0,
+                  mesh: Optional[Mesh] = None) -> list:
+    """One-shot batched compose; returns new CoefImages."""
+    bc = BatchComposer(images[0], dropon, align, offset_x, offset_y, mesh)
+    batches = bc.put_batch(images)
+    results = bc.compose_arrays(batches)
+    outs = []
+    host = [np.asarray(r) for r in results]
+    for i, im in enumerate(images):
+        o = im.copy()
+        for c in range(o.num_components):
+            o.coefs[c] = host[c][i]
+        outs.append(o)
+    return outs
