@@ -45,7 +45,31 @@ def make_logo(rng, w, h):
     return logo
 
 
+def _probe_device(timeout_s: float = 120.0) -> bool:
+    """Check in a subprocess that the configured jax backend actually comes
+    up (the tunneled TPU can wedge if a previous client died mid-claim); on
+    failure fall back to CPU so the bench still measures the pipeline."""
+    import subprocess
+
+    code = ("import jax, numpy as np;"
+            "d = jax.device_put(np.zeros((8, 8), np.int16));"
+            "d.block_until_ready(); print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({"event": "device_probe_failed",
+                          "fallback": "cpu"}), file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     import libmodjpeg_tpu as mj
     from libmodjpeg_tpu import codec
     from libmodjpeg_tpu.encode_pixels import from_pixels
@@ -73,13 +97,9 @@ def main():
 
     def pipeline():
         images = [codec.decode(b) for b in jpegs]
-        batches = composer.put_batch(images)
-        results = composer.compose_arrays(batches)
-        host = [np.asarray(r) for r in results]
+        composer.compose_images(images)  # region-only device round trip
         out_bytes = 0
-        for i, im in enumerate(images):
-            for c in range(im.num_components):
-                im.coefs[c] = host[c][i]
+        for im in images:
             out_bytes += len(codec.encode(im, restart_interval=RESTART))
         return out_bytes
 

@@ -48,6 +48,28 @@ def _compose_batch_component(grids: jax.Array, dropon_blocks: jax.Array,
     return grids.at[:, row0:row0 + h, col0:col0 + w].set(out)
 
 
+@jax.jit
+def _compose_regions_fused(regions, dropons, alphas, quants):
+    """Compose all components' region batches in one traced computation.
+
+    regions: tuple of [N, h_c, w_c, 8, 8] int16; dropons/alphas: tuple of
+    [h_c, w_c, 8, 8] float32; quants: tuple of [8, 8].
+    """
+    outs = []
+    for region_i16, dropon, alpha, quant in zip(regions, dropons, alphas, quants):
+        n, h, w = region_i16.shape[:3]
+        region = region_i16.astype(jnp.int32)
+        x1 = region.astype(jnp.float32) * quant.astype(jnp.float32)
+        d = jnp.broadcast_to(dropon, (n, h, w, 8, 8))
+        a = jnp.broadcast_to(alpha, (n, h, w, 8, 8))
+        y = blend_blocks(x1.reshape(-1, 8, 8), d.reshape(-1, 8, 8),
+                         a.reshape(-1, 8, 8)).reshape(n, h, w, 8, 8)
+        corr = jnp.trunc(y - x1).astype(jnp.int32)
+        out = requant_trunc(region * quant.astype(jnp.int32) + corr, quant)
+        outs.append(jnp.clip(out, -32768, 32767).astype(jnp.int16))
+    return tuple(outs)
+
+
 class BatchComposer:
     """Reusable compiled-dropon compose over batches of same-geometry images.
 
@@ -120,6 +142,36 @@ class BatchComposer:
                 self._dev_quant[c],
                 row0=self.block_y * ci.v_samp, col0=self.block_x * ci.h_samp))
         return out
+
+    def compose_images(self, images: Sequence[CoefImage]) -> None:
+        """In-place batched compose, region-only dataflow.
+
+        Only the overlay footprint travels host<->device (the untouched MCU
+        grid never leaves the host — it is bit-exact by construction), and
+        all components go through ONE jit dispatch, minimizing tunnel/PCIe
+        round trips.  This is the production watermarking hot path.
+        """
+        if self.noop:
+            return
+        ncomps = len(self.cd.image_blocks)
+        regions = []
+        origins = []
+        for c in range(ncomps):
+            ci = self.template.components[c]
+            r0 = self.block_y * ci.v_samp
+            c0 = self.block_x * ci.h_samp
+            h, w = self.cd.image_blocks[c].shape[:2]
+            origins.append((r0, c0, h, w))
+            regions.append(np.stack(
+                [im.coefs[c][r0:r0 + h, c0:c0 + w] for im in images]))
+        outs = _compose_regions_fused(
+            tuple(regions), tuple(self._dev_dropon), tuple(self._dev_alpha),
+            tuple(self._dev_quant))
+        outs = [np.asarray(o) for o in outs]
+        for c in range(ncomps):
+            r0, c0, h, w = origins[c]
+            for i, im in enumerate(images):
+                im.coefs[c][r0:r0 + h, c0:c0 + w] = outs[c][i]
 
     def put_batch(self, images: Sequence[CoefImage]) -> list:
         """Stack host images into device batches (sharded if mesh given)."""
