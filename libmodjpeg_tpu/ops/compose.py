@@ -81,6 +81,41 @@ def blend_blocks(x_image: jax.Array, x_dropon: jax.Array,
     return x_image + Y
 
 
+_PALLAS_DECISION = None
+
+
+def use_pallas_blend() -> bool:
+    """Pallas path on real TPU backends unless MJT_NO_PALLAS is set; the
+    einsum path runs everywhere (CPU tests, interpret-mode validation)."""
+    global _PALLAS_DECISION
+    if _PALLAS_DECISION is None:
+        import os
+
+        if os.environ.get("MJT_NO_PALLAS"):
+            _PALLAS_DECISION = False
+        else:
+            try:
+                plat = jax.devices()[0].platform.lower()
+            except Exception:
+                plat = "cpu"
+            _PALLAS_DECISION = plat in ("tpu", "axon")
+    return _PALLAS_DECISION
+
+
+def blend_blocks_auto(x_image: jax.Array, x_dropon: jax.Array,
+                      w_alpha: jax.Array) -> jax.Array:
+    """blend_blocks with automatic kernel selection ([N,8,8] contract)."""
+    if use_pallas_blend():
+        from .pallas_compose import blend_blocks_pallas
+
+        n = x_image.shape[0]
+        y = blend_blocks_pallas(x_image.reshape(n, 64),
+                                x_dropon.reshape(n, 64),
+                                w_alpha.reshape(n, 64))
+        return y.reshape(n, 8, 8)
+    return blend_blocks(x_image, x_dropon, w_alpha)
+
+
 @jax.jit
 def requant_trunc(values: jax.Array, quant: jax.Array) -> jax.Array:
     """C-style truncating integer division (compose.c:327-336 semantics).

@@ -17,7 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
 from ..model import CoefImage, CompiledDropon, Dropon
-from ..ops.compose import blend_blocks, requant_trunc
+from ..ops.compose import blend_blocks, blend_blocks_auto, requant_trunc
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -62,8 +62,8 @@ def _compose_regions_fused(regions, dropons, alphas, quants):
         x1 = region.astype(jnp.float32) * quant.astype(jnp.float32)
         d = jnp.broadcast_to(dropon, (n, h, w, 8, 8))
         a = jnp.broadcast_to(alpha, (n, h, w, 8, 8))
-        y = blend_blocks(x1.reshape(-1, 8, 8), d.reshape(-1, 8, 8),
-                         a.reshape(-1, 8, 8)).reshape(n, h, w, 8, 8)
+        y = blend_blocks_auto(x1.reshape(-1, 8, 8), d.reshape(-1, 8, 8),
+                              a.reshape(-1, 8, 8)).reshape(n, h, w, 8, 8)
         corr = jnp.trunc(y - x1).astype(jnp.int32)
         out = requant_trunc(region * quant.astype(jnp.int32) + corr, quant)
         outs.append(jnp.clip(out, -32768, 32767).astype(jnp.int16))

@@ -1,0 +1,45 @@
+"""Pallas kernel validation (interpret mode on CPU; compiled on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from libmodjpeg_tpu.ops.compose import blend_blocks
+from libmodjpeg_tpu.ops.pallas_compose import blend_blocks_pallas, TILE
+
+
+@pytest.mark.parametrize("n", [1, 7, TILE, TILE + 3, 2 * TILE])
+def test_pallas_blend_matches_einsum(n):
+    rng = np.random.RandomState(n)
+    x1 = (rng.randn(n, 8, 8) * 300).astype(np.float32)
+    x0 = (rng.randn(n, 8, 8) * 300).astype(np.float32)
+    w = (rng.randn(n, 8, 8) * 0.02).astype(np.float32)
+    w[:, 0, 0] = 0.25
+    ref = np.asarray(blend_blocks(jnp.asarray(x1), jnp.asarray(x0),
+                                  jnp.asarray(w)))
+    out = np.asarray(blend_blocks_pallas(
+        jnp.asarray(x1.reshape(n, 64)), jnp.asarray(x0.reshape(n, 64)),
+        jnp.asarray(w.reshape(n, 64)), interpret=True)).reshape(n, 8, 8)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-3)
+
+
+def test_pallas_opaque_identity():
+    """Opaque mask through the kernel: output == dropon (to fp32 eps)."""
+    from libmodjpeg_tpu.ops.dct import fdct_blocks
+
+    adct = np.rint(np.asarray(fdct_blocks(
+        jnp.full((1, 8, 8), 255.0, jnp.float32))))[0]
+    adct[0, 0] += 1024
+    f = np.full((8, 8), 0.25)
+    f[0, :] = 0.3535534 * 0.5
+    f[:, 0] = 0.3535534 * 0.5
+    f[0, 0] = 0.3535534 ** 2
+    w = (adct * f / 1020.0).astype(np.float32)
+    rng = np.random.RandomState(0)
+    n = 16
+    x1 = (rng.randn(n, 64) * 300).astype(np.float32)
+    x0 = (rng.randn(n, 64) * 300).astype(np.float32)
+    wb = np.broadcast_to(w.reshape(64), (n, 64)).astype(np.float32)
+    out = np.asarray(blend_blocks_pallas(
+        jnp.asarray(x1), jnp.asarray(x0), jnp.asarray(wb), interpret=True))
+    np.testing.assert_allclose(out, x0, atol=3e-2)
