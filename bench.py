@@ -75,19 +75,27 @@ def main():
     from libmodjpeg_tpu.encode_pixels import from_pixels
     from libmodjpeg_tpu.parallel.batch import BatchComposer
 
+    import jax
+
     rng = np.random.RandomState(42)
     W, H = 1920, 1088
     BATCH = int(os.environ.get("MJT_BENCH_BATCH", "8"))
     ITERS = int(os.environ.get("MJT_BENCH_ITERS", "5"))
-    RESTART = 32  # MCU rows per restart segment -> parallel codec
+    RESTART = 32  # MCUs per restart segment -> parallel codec
 
-    # build the corpus: one synthetic 1080p JPEG replicated with different
-    # noise, encoded by our own codec with restart markers
+    # build the corpus on the CPU backend: corpus synthesis is setup, not the
+    # measured pipeline, and keeping it off the accelerator avoids paying
+    # (and possibly wedging) tunnel transfers for throwaway data
     jpegs = []
-    for i in range(BATCH):
-        pix = make_test_image(rng, W, H)
-        img = from_pixels(pix, quality=85, subsampling="420")
-        jpegs.append(codec.encode(img, restart_interval=RESTART))
+    try:
+        setup_dev = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        setup_dev = jax.devices()[0]
+    with jax.default_device(setup_dev):
+        for i in range(BATCH):
+            pix = make_test_image(rng, W, H)
+            img = from_pixels(pix, quality=85, subsampling="420")
+            jpegs.append(codec.encode(img, restart_interval=RESTART))
     logo = make_logo(rng, 256, 64)
     dropon = mj.read_dropon_from_raw(logo, mj.COLORSPACE_RGBA, 256, 64)
 
@@ -95,13 +103,17 @@ def main():
     composer = BatchComposer(template, dropon,
                              mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -32, -32)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
+
     def pipeline():
-        images = [codec.decode(b) for b in jpegs]
+        # the C++ codec releases the GIL, so decode/encode spread over cores
+        images = list(pool.map(codec.decode, jpegs))
         composer.compose_images(images)  # region-only device round trip
-        out_bytes = 0
-        for im in images:
-            out_bytes += len(codec.encode(im, restart_interval=RESTART))
-        return out_bytes
+        sizes = pool.map(
+            lambda im: len(codec.encode(im, restart_interval=RESTART)), images)
+        return sum(sizes)
 
     pipeline()  # warmup: compile + codec caches
 
