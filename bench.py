@@ -45,7 +45,7 @@ def make_logo(rng, w, h):
     return logo
 
 
-def _probe_device(timeout_s: float = 120.0) -> bool:
+def _probe_device(timeout_s: float = 240.0) -> bool:
     """Check in a subprocess that the configured jax backend actually comes
     up (the tunneled TPU can wedge if a previous client died mid-claim); on
     failure fall back to CPU so the bench still measures the pipeline."""
