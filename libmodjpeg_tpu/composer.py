@@ -23,6 +23,74 @@ from .model import CoefImage, CompiledDropon, Dropon
 from .ops import compose as composeops
 from .ops import dct as dctops
 
+import dataclasses
+
+
+@dataclasses.dataclass
+class Placement:
+    """Resolved placement of a dropon on an image (compose.c:57-172)."""
+
+    noop: bool
+    crop_x: int = 0
+    crop_y: int = 0
+    crop_w: int = 0
+    crop_h: int = 0
+    blockoffset_x: int = 0
+    blockoffset_y: int = 0
+    block_x: int = 0
+    block_y: int = 0
+    position_x: int = 0
+    position_y: int = 0
+
+
+def plan_placement(img: CoefImage, d: Dropon, align: int, offset_x: int,
+                   offset_y: int) -> Placement:
+    """Placement/crop/block-offset math, mirroring compose.c:57-172 with its
+    edge-case quirks (C-style truncation, negative clamping)."""
+    if d.blend == C.BLEND_NONE:
+        return Placement(noop=True)
+
+    if align & C.ALIGN_LEFT:
+        px = 0
+    elif align & C.ALIGN_RIGHT:
+        px = img.width - d.width
+    else:
+        px = img.width // 2 - d.width // 2
+    px += offset_x
+    if align & C.ALIGN_TOP:
+        py = 0
+    elif align & C.ALIGN_BOTTOM:
+        py = img.height - d.height
+    else:
+        py = img.height // 2 - d.height // 2
+    py += offset_y
+
+    crop_x = -px if px < 0 else 0
+    crop_w = d.width - crop_x
+    if crop_x > d.width or px > img.width:
+        crop_w = 0
+    elif px + crop_x + crop_w > img.width:
+        crop_w = img.width - crop_x - px
+    crop_y = -py if py < 0 else 0
+    crop_h = d.height - crop_y
+    if crop_y > d.height or py > img.height:
+        crop_h = 0
+    elif py + crop_y + crop_h > img.height:
+        crop_h = img.height - crop_y - py
+
+    if crop_w <= 0 or crop_h <= 0:
+        return Placement(noop=True)
+
+    return Placement(
+        noop=False, crop_x=crop_x, crop_y=crop_y, crop_w=crop_w,
+        crop_h=crop_h,
+        blockoffset_x=px % img.sampling.h_factor if px >= 0 else 0,
+        blockoffset_y=py % img.sampling.v_factor if py >= 0 else 0,
+        block_x=max(0, int(np.trunc(px / img.sampling.h_factor))),
+        block_y=max(0, int(np.trunc(py / img.sampling.v_factor))),
+        position_x=px, position_y=py)
+
+
 # mask-DCT normalization factors (dropon.c:544-566)
 _ALPHA_FACTORS = np.full((8, 8), 0.25 / 1020.0, dtype=np.float32)
 _ALPHA_FACTORS[0, :] = 0.3535534 * 0.5 / 1020.0
@@ -133,65 +201,18 @@ def compose(img: CoefImage, d: Dropon, align: int = 0, offset_x: int = 0,
     """mj_compose (compose.c:33-180).  Returns a new CoefImage."""
     if img is None or d is None:
         raise NullDataError("image and dropon required")
-    if d.blend == C.BLEND_NONE:
+    p = plan_placement(img, d, align, offset_x, offset_y)
+    if p.noop:
         return img.copy()
 
-    # -- placement (compose.c:57-82) --
-    if align & C.ALIGN_LEFT:
-        position_x = 0
-    elif align & C.ALIGN_RIGHT:
-        position_x = img.width - d.width
-    else:
-        position_x = img.width // 2 - d.width // 2
-    position_x += offset_x
-
-    if align & C.ALIGN_TOP:
-        position_y = 0
-    elif align & C.ALIGN_BOTTOM:
-        position_y = img.height - d.height
-    else:
-        position_y = img.height // 2 - d.height // 2
-    position_y += offset_y
-
-    # -- crop against borders (compose.c:87-137, quirks intact) --
-    crop_x = -position_x if position_x < 0 else 0
-    crop_w = d.width - crop_x
-    if crop_x > d.width:
-        crop_w = 0
-    elif position_x > img.width:
-        crop_w = 0
-    elif position_x + crop_x + crop_w > img.width:
-        crop_w = img.width - crop_x - position_x
-
-    crop_y = -position_y if position_y < 0 else 0
-    crop_h = d.height - crop_y
-    if crop_y > d.height:
-        crop_h = 0
-    elif position_y > img.height:
-        crop_h = 0
-    elif position_y + crop_y + crop_h > img.height:
-        crop_h = img.height - crop_y - position_y
-
-    if crop_w <= 0 or crop_h <= 0:
-        return img.copy()
-
-    # -- MCU-grid alignment (compose.c:144-151; C % truncates toward zero,
-    #    so negative positions clamp to offset 0) --
-    blockoffset_x = position_x % img.sampling.h_factor if position_x >= 0 else 0
-    blockoffset_y = position_y % img.sampling.v_factor if position_y >= 0 else 0
-
-    cd = compile_dropon(d, img, blockoffset_x, blockoffset_y,
-                        crop_x, crop_y, crop_w, crop_h)
-
-    # -- target block origin (compose.c:163-172; C / truncates toward zero) --
-    block_x = max(0, int(np.trunc(position_x / img.sampling.h_factor)))
-    block_y = max(0, int(np.trunc(position_y / img.sampling.v_factor)))
+    cd = compile_dropon(d, img, p.blockoffset_x, p.blockoffset_y,
+                        p.crop_x, p.crop_y, p.crop_w, p.crop_h)
 
     out = img.copy()
     for c in range(len(cd.image_blocks)):
         ci = img.components[c]
-        row0 = block_y * ci.v_samp  # compose.c:264-265
-        col0 = block_x * ci.h_samp
+        row0 = p.block_y * ci.v_samp  # compose.c:264-265
+        col0 = p.block_x * ci.h_samp
         grid = composeops.compose_region(
             jnp.asarray(out.coefs[c]),
             jnp.asarray(cd.image_blocks[c]),

@@ -70,14 +70,16 @@ def blend_blocks(x_image: jax.Array, x_dropon: jax.Array,
     X = x_dropon - x_image                       # compose.c:289-298
     S = _s32()
     # M[n,k] = sum_l w[n,k,l] * S_l
-    M = jnp.einsum("nkl,lcd->nkcd", w_alpha, S,
-                   preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST  # full f32: bf16 MXU passes would cost
+    M = jnp.einsum("nkl,lcd->nkcd", w_alpha, S,      # several coefficient
+                   preferred_element_type=jnp.float32,  # units of error
+                   precision=hi)
     # P[n,k] = S_k @ X[n]
     P = jnp.einsum("kab,nbc->nkac", S, X,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32, precision=hi)
     # Y[n] = sum_k P[n,k] @ M[n,k]^T
     Y = jnp.einsum("nkac,nkdc->nad", P, M,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32, precision=hi)
     return x_image + Y
 
 

@@ -46,7 +46,8 @@ def fdct_blocks(pixels: jax.Array) -> jax.Array:
     x = pixels - 128.0
     T = _t32()
     return jnp.einsum("ux,...xy,vy->...uv", T, x, T,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.jit
@@ -54,7 +55,8 @@ def idct_blocks(coefs: jax.Array) -> jax.Array:
     """Inverse DCT: [..., 8, 8] coefficients -> [..., 8, 8] pixel values."""
     T = _t32()
     x = jnp.einsum("ux,...uv,vy->...xy", T, coefs, T,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return x + 128.0
 
 

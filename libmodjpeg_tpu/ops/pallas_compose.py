@@ -42,14 +42,16 @@ def _blend_kernel(x1_ref, x0_ref, w_ref, ki_ref, il_ref, y_ref, z_scratch):
     w = w_ref[:]                           # [T, 64] (flattened k*8+l)
     # column pass: Z_l = X @ ILt[l]
     for l in range(8):
-        z_scratch[l] = jnp.dot(X, il_ref[l], preferred_element_type=jnp.float32)
+        z_scratch[l] = jnp.dot(X, il_ref[l], preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     # row pass with per-row mask scaling
     acc = x1
     for k in range(8):
         v = jnp.zeros_like(X)
         for l in range(8):
             v = v + w[:, k * 8 + l][:, None] * z_scratch[l]
-        acc = acc + jnp.dot(v, ki_ref[k], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(v, ki_ref[k], preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     y_ref[:] = acc
 
 

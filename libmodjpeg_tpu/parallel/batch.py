@@ -80,48 +80,19 @@ class BatchComposer:
     def __init__(self, template: CoefImage, dropon: Dropon, align: int = 0,
                  offset_x: int = 0, offset_y: int = 0,
                  mesh: Optional[Mesh] = None):
-        from ..composer import compose as _  # noqa: F401 (placement parity)
-        from ..composer import compile_dropon
+        from ..composer import compile_dropon, plan_placement
 
         self.template = template
         self.mesh = mesh
-        img = template
-        d = dropon
-        # placement math identical to composer.compose (compose.c:57-151)
-        if align & C.ALIGN_LEFT:
-            px = 0
-        elif align & C.ALIGN_RIGHT:
-            px = img.width - d.width
-        else:
-            px = img.width // 2 - d.width // 2
-        px += offset_x
-        if align & C.ALIGN_TOP:
-            py = 0
-        elif align & C.ALIGN_BOTTOM:
-            py = img.height - d.height
-        else:
-            py = img.height // 2 - d.height // 2
-        py += offset_y
-        crop_x = -px if px < 0 else 0
-        crop_w = d.width - crop_x
-        if crop_x > d.width or px > img.width:
-            crop_w = 0
-        elif px + crop_x + crop_w > img.width:
-            crop_w = img.width - crop_x - px
-        crop_y = -py if py < 0 else 0
-        crop_h = d.height - crop_y
-        if crop_y > d.height or py > img.height:
-            crop_h = 0
-        elif py + crop_y + crop_h > img.height:
-            crop_h = img.height - crop_y - py
-        self.noop = crop_w <= 0 or crop_h <= 0 or d.blend == C.BLEND_NONE
+        p = plan_placement(template, dropon, align, offset_x, offset_y)
+        self.noop = p.noop
         if self.noop:
             return
-        bx = px % img.sampling.h_factor if px >= 0 else 0
-        by = py % img.sampling.v_factor if py >= 0 else 0
-        self.cd = compile_dropon(d, img, bx, by, crop_x, crop_y, crop_w, crop_h)
-        self.block_x = max(0, int(np.trunc(px / img.sampling.h_factor)))
-        self.block_y = max(0, int(np.trunc(py / img.sampling.v_factor)))
+        self.cd = compile_dropon(dropon, template, p.blockoffset_x,
+                                 p.blockoffset_y, p.crop_x, p.crop_y,
+                                 p.crop_w, p.crop_h)
+        self.block_x = p.block_x
+        self.block_y = p.block_y
         # device-resident compiled dropon + quant tables
         self._dev_dropon = [jnp.asarray(b) for b in self.cd.image_blocks]
         self._dev_alpha = [jnp.asarray(a) for a in self.cd.alpha_weights]
