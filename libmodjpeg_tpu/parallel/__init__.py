@@ -10,3 +10,4 @@ edges.
 from .mesh import make_mesh, batch_sharding, grid_sharding  # noqa: F401
 from .batch import compose_batch, BatchComposer  # noqa: F401
 from .grid import effects_sharded, compose_sharded  # noqa: F401
+from .session import GridSession, init_distributed  # noqa: F401

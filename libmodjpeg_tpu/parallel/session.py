@@ -1,0 +1,113 @@
+"""Device-resident pipeline session for huge images.
+
+For the 100MP tiled-JPEG workload (BASELINE config-4) the coefficient grids
+should be put on the mesh ONCE, flow through a chain of effects/composes
+entirely on device, and come back once at the end — not round-trip per op
+like the convenience wrappers in grid.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import constants as C
+from ..model import CoefImage, Dropon
+from ..ops import effects as fx
+from .grid import _apply_effect, _compose_component_sharded
+
+
+class GridSession:
+    """Holds one image's component grids sharded over the mesh.
+
+    Usage::
+
+        sess = GridSession(img, mesh)
+        sess.effect("luminance", value=40).effect("pixelate")
+        sess.compose(dropon, ALIGN_CENTER)
+        out = sess.to_image()
+    """
+
+    def __init__(self, img: CoefImage, mesh: Optional[Mesh] = None):
+        self.meta = img
+        self.mesh = mesh
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(("batch", "grid")))
+            self.grids = [jax.device_put(a, sh) for a in img.coefs]
+        else:
+            self.grids = [jnp.asarray(a) for a in img.coefs]
+        self.quants = [jnp.asarray(img.quant_table_for(c))
+                       for c in range(img.num_components)]
+
+    def effect(self, name: str, value: int = 0, cb_value: int = 0,
+               cr_value: int = 0) -> "GridSession":
+        jcs_ok = self.meta.jpeg_color_space == C.JCS_YCbCr
+        for c in range(len(self.grids)):
+            g, q = self.grids[c], self.quants[c]
+            if name == "grayscale" and jcs_ok and c > 0:
+                self.grids[c] = _apply_effect(g, q, jnp.int32(0), "zero")
+            elif name == "pixelate":
+                self.grids[c] = _apply_effect(g, q, jnp.int32(0), "pixelate")
+            elif name == "tint" and jcs_ok and c == 1 and cb_value:
+                self.grids[c] = _apply_effect(g, q, jnp.int32(cb_value), "dc_add")
+            elif name == "tint" and jcs_ok and c == 2 and cr_value:
+                self.grids[c] = _apply_effect(g, q, jnp.int32(cr_value), "dc_add")
+            elif name == "luminance" and jcs_ok and c == 0:
+                self.grids[c] = _apply_effect(g, q, jnp.int32(value), "dc_add")
+        return self
+
+    def compose(self, dropon: Dropon, align: int = 0, offset_x: int = 0,
+                offset_y: int = 0) -> "GridSession":
+        from ..composer import compile_dropon, plan_placement
+
+        p = plan_placement(self.meta, dropon, align, offset_x, offset_y)
+        if p.noop:
+            return self
+        cd = compile_dropon(dropon, self.meta, p.blockoffset_x,
+                            p.blockoffset_y, p.crop_x, p.crop_y,
+                            p.crop_w, p.crop_h)
+        for c in range(len(cd.image_blocks)):
+            ci = self.meta.components[c]
+            self.grids[c] = _compose_component_sharded(
+                self.grids[c], jnp.asarray(cd.image_blocks[c]),
+                jnp.asarray(cd.alpha_weights[c]), self.quants[c],
+                row0=p.block_y * ci.v_samp, col0=p.block_x * ci.h_samp)
+        return self
+
+    def block_until_ready(self) -> "GridSession":
+        for g in self.grids:
+            g.block_until_ready()
+        return self
+
+    def to_image(self) -> CoefImage:
+        out = self.meta.copy()
+        for c in range(len(self.grids)):
+            out.coefs[c] = np.asarray(self.grids[c])
+        return out
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed for multi-host pod runs.
+
+    Reads MJT_COORDINATOR / MJT_NUM_PROCS / MJT_PROC_ID when args are None;
+    no-op (returns False) when no coordinator is configured, so single-host
+    runs need no special casing.
+    """
+    import os
+
+    coordinator = coordinator or os.environ.get("MJT_COORDINATOR")
+    if not coordinator:
+        return False
+    num_processes = num_processes or int(os.environ.get("MJT_NUM_PROCS", "1"))
+    process_id = process_id if process_id is not None else int(
+        os.environ.get("MJT_PROC_ID", "0"))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True

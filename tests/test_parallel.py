@@ -124,3 +124,28 @@ def test_from_pixels_roundtrip():
     from PIL import Image
     ppix = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     assert np.abs(ppix.astype(int) - pix.astype(int)).mean() < 4.0
+
+
+def test_grid_session_chain(base, logo):
+    """Device-resident chained pipeline == sequential host-side ops."""
+    from libmodjpeg_tpu.parallel import GridSession
+
+    mesh = make_mesh(batch=2, grid=4)
+    sess = GridSession(base, mesh)
+    sess.effect("luminance", value=77).effect("tint", cb_value=30, cr_value=-10)
+    sess.compose(logo, mj.ALIGN_CENTER, -9, 4)
+    sess.effect("pixelate")
+    got = sess.to_image()
+
+    want = mj.effect_luminance(base, 77)
+    want = mj.effect_tint(want, 30, -10)
+    want = mj.compose(want, logo, mj.ALIGN_CENTER, -9, 4)
+    want = mj.effect_pixelate(want)
+    for c in range(3):
+        np.testing.assert_array_equal(got.coefs[c], want.coefs[c])
+
+
+def test_init_distributed_noop():
+    from libmodjpeg_tpu.parallel import init_distributed
+
+    assert init_distributed() is False  # no coordinator configured
