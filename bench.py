@@ -107,13 +107,24 @@ def main():
 
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
 
+    half = max(1, BATCH // 2)
+
     def pipeline():
-        # the C++ codec releases the GIL, so decode/encode spread over cores
-        images = list(pool.map(codec.decode, jpegs))
-        composer.compose_images(images)  # region-only device round trip
-        sizes = pool.map(
-            lambda im: len(codec.encode(im, restart_interval=RESTART)), images)
-        return sum(sizes)
+        # software pipeline: the device composes one half-batch while the
+        # host codec (GIL-releasing C++) works on the other
+        total = 0
+        imgs1 = list(pool.map(codec.decode, jpegs[:half]))
+        pend1 = composer.compose_images_async(imgs1)
+        imgs2 = list(pool.map(codec.decode, jpegs[half:]))
+        composer.finish(pend1, imgs1)
+        pend2 = composer.compose_images_async(imgs2)
+        sizes1 = pool.map(
+            lambda im: len(codec.encode(im, restart_interval=RESTART)), imgs1)
+        total += sum(sizes1)
+        composer.finish(pend2, imgs2)
+        sizes2 = pool.map(
+            lambda im: len(codec.encode(im, restart_interval=RESTART)), imgs2)
+        return total + sum(sizes2)
 
     pipeline()  # warmup: compile + codec caches
 

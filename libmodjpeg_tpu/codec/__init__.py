@@ -55,6 +55,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_char_p,
             ctypes.c_int64,
             ctypes.c_int32,
+            ctypes.c_int64,
             ctypes.c_char_p,
             ctypes.c_int64,
         ]
@@ -108,13 +109,23 @@ def _load() -> ctypes.CDLL:
         return lib
 
 
-def decode(data: bytes, nthreads: int = 0) -> CoefImage:
-    """Decode a JPEG bitstream into a CoefImage (coefficients + metadata)."""
+def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
+    """Decode a JPEG bitstream into a CoefImage (coefficients + metadata).
+
+    max_pixel > 0 aborts at the frame header before any entropy decoding if
+    width*height exceeds the cap (the reference's anti-DoS guard,
+    image.c:79-82, but enforced even earlier)."""
     lib = _load()
     errbuf = ctypes.create_string_buffer(512)
-    handle = lib.mjt_decode(data, len(data), nthreads, errbuf, len(errbuf))
+    handle = lib.mjt_decode(data, len(data), nthreads, max_pixel,
+                            errbuf, len(errbuf))
     if not handle:
-        raise DecodeError(errbuf.value.decode("utf-8", "replace"))
+        msg = errbuf.value.decode("utf-8", "replace")
+        if "max_pixel" in msg:
+            from libmodjpeg_tpu.errors import ImageSizeError
+
+            raise ImageSizeError(msg)
+        raise DecodeError(msg)
     try:
         info = (ctypes.c_int32 * 8)()
         lib.mjt_get_info(handle, info)

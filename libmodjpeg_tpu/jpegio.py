@@ -35,11 +35,7 @@ def read_jpeg(source, max_pixel: int = 0, nthreads: int = 0) -> CoefImage:
     data = _read_bytes(source)
     if not data:
         raise NullDataError("empty input")
-    img = codec.decode(data, nthreads=nthreads)
-    # max_pixel guard (image.c:79-82)
-    if max_pixel and img.width * img.height > max_pixel:
-        raise ImageSizeError(
-            f"{img.width}x{img.height} exceeds max_pixel={max_pixel}")
+    img = codec.decode(data, nthreads=nthreads, max_pixel=max_pixel)
     # colorspace guard (image.c:84-92): only GRAYSCALE/RGB/YCbCr
     if img.jpeg_color_space not in (C.JCS_GRAYSCALE, C.JCS_RGB, C.JCS_YCbCr):
         raise UnsupportedColorspaceError(

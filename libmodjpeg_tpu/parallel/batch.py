@@ -122,11 +122,16 @@ class BatchComposer:
         all components go through ONE jit dispatch, minimizing tunnel/PCIe
         round trips.  This is the production watermarking hot path.
         """
+        self.finish(self.compose_images_async(images), images)
+
+    def compose_images_async(self, images: Sequence[CoefImage]):
+        """Dispatch the region compose without blocking; returns a pending
+        handle.  jax dispatch is async, so the device works while the host
+        keeps decoding/encoding — pair with finish() to overlap stages."""
         if self.noop:
-            return
+            return None
         ncomps = len(self.cd.image_blocks)
-        regions = []
-        origins = []
+        regions, origins = [], []
         for c in range(ncomps):
             ci = self.template.components[c]
             r0 = self.block_y * ci.v_samp
@@ -138,11 +143,17 @@ class BatchComposer:
         outs = _compose_regions_fused(
             tuple(regions), tuple(self._dev_dropon), tuple(self._dev_alpha),
             tuple(self._dev_quant))
-        outs = [np.asarray(o) for o in outs]
-        for c in range(ncomps):
-            r0, c0, h, w = origins[c]
+        return (outs, origins)
+
+    def finish(self, pending, images: Sequence[CoefImage]) -> None:
+        """Fetch a compose_images_async result and scatter it back."""
+        if pending is None:
+            return
+        outs, origins = pending
+        host = [np.asarray(o) for o in outs]
+        for c, (r0, c0, h, w) in enumerate(origins):
             for i, im in enumerate(images):
-                im.coefs[c][r0:r0 + h, c0:c0 + w] = outs[c][i]
+                im.coefs[c][r0:r0 + h, c0:c0 + w] = host[c][i]
 
     def put_batch(self, images: Sequence[CoefImage]) -> list:
         """Stack host images into device batches (sharded if mesh given)."""
