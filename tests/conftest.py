@@ -46,6 +46,14 @@ def _ensure_refbuild():
             ["gcc", "-O2", os.path.join(REPO, "tools", "dump_coefs.c"),
              "-ljpeg", "-o", dump],
             check=True, capture_output=True)
+    refcompose = os.path.join(REFBUILD, "ref_compose")
+    if not os.path.exists(refcompose):
+        subprocess.run(
+            ["gcc", "-O2", "-I/root/reference/src",
+             os.path.join(REPO, "tools", "ref_compose.c"),
+             "-L" + REFBUILD, "-lmodjpeg", "-Wl,-rpath," + REFBUILD,
+             "-o", refcompose],
+            check=True, capture_output=True)
     return modjpeg, dump
 
 

@@ -234,3 +234,30 @@ def test_grayscale_target(ref_tools, tmp_path):
     ref_pix = to_pixels(ref_img, mj.COLORSPACE_GRAYSCALE)[..., 0].astype(float)
     our_pix = to_pixels(our_img, mj.COLORSPACE_GRAYSCALE)[..., 0].astype(float)
     assert psnr(our_pix[region], ref_pix[region]) > 40
+
+
+@pytest.mark.parametrize("blend", [1, 50, 128, 254])
+def test_uniform_partial_blend_matches_reference(ref_tools, tmp_path, blend):
+    """Arbitrary uniform blend values (README example uses blend=50) against
+    the reference LIBRARY (the CLI always uses BLEND_FULL)."""
+    import os
+    refcompose = os.path.join(os.path.dirname(ref_tools[0]), "ref_compose")
+    ref_out = tmp_path / "ref.jpg"
+    align = mj.ALIGN_TOP | mj.ALIGN_LEFT
+    subprocess.run(
+        [refcompose, f"{IMAGES}/image.jpg", f"{IMAGES}/dropon.jpg",
+         str(blend), str(align), "12", "20", str(ref_out)],
+        check=True, capture_output=True)
+    img = mj.read_jpeg(f"{IMAGES}/image.jpg")
+    d = mj.read_dropon(f"{IMAGES}/dropon.jpg", blend=blend)
+    assert d.blend == blend
+    out = mj.compose(img, d, align, 12, 20)
+    ref_img = decode(ref_out.read_bytes())
+    our_img = decode(mj.write_jpeg(out))
+    slices = footprint_blocks(img, 12, 20, d.width, d.height)
+    assert_untouched_exact(ref_img, our_img, slices)
+    y1 = 20 + d.height
+    region = (slice(20, y1), slice(12, 12 + d.width))
+    ref_pix = to_pixels(ref_img, mj.COLORSPACE_RGB).astype(np.float64)
+    our_pix = to_pixels(our_img, mj.COLORSPACE_RGB).astype(np.float64)
+    assert psnr(our_pix[region], ref_pix[region]) > 35
