@@ -45,31 +45,42 @@ def make_logo(rng, w, h):
     return logo
 
 
-def _probe_device(timeout_s: float = 240.0) -> bool:
-    """Check in a subprocess that the configured jax backend actually comes
-    up (the tunneled TPU can wedge if a previous client died mid-claim); on
-    failure fall back to CPU so the bench still measures the pipeline."""
+def supervise() -> int:
+    """Run the measurement in a child process (the only jax client alive) so
+    a wedged TPU tunnel can be killed by PID and retried on CPU — the bench
+    always prints its JSON line."""
     import subprocess
 
-    code = ("import jax, numpy as np;"
-            "d = jax.device_put(np.zeros((8, 8), np.int16));"
-            "d.block_until_ready(); print('ok')")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, text=True)
-        return "ok" in r.stdout
-    except subprocess.TimeoutExpired:
+    def run(env_extra, timeout_s):
+        env = dict(os.environ)
+        env["MJT_BENCH_CHILD"] = "1"
+        env.update(env_extra)
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               timeout=timeout_s, capture_output=True,
+                               text=True, env=env)
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return True
+        except subprocess.TimeoutExpired:
+            pass
         return False
+
+    if run({}, 1500.0):
+        return 0
+    print(json.dumps({"event": "accelerator_bench_timed_out",
+                      "fallback": "cpu"}), file=sys.stderr)
+    if run({"JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}, 900.0):
+        return 0
+    print(json.dumps({"metric": "composited_megapixels_per_s_per_chip",
+                      "value": 0.0, "unit": "MP/s/chip", "vs_baseline": 0.0,
+                      "error": "bench could not run"}))
+    return 1
 
 
 def main():
-    if not _probe_device():
-        print(json.dumps({"event": "device_probe_failed",
-                          "fallback": "cpu"}), file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-
     import libmodjpeg_tpu as mj
     from libmodjpeg_tpu import codec
     from libmodjpeg_tpu.encode_pixels import from_pixels
@@ -107,30 +118,29 @@ def main():
 
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
 
-    half = max(1, BATCH // 2)
-
-    def pipeline():
-        # software pipeline: the device composes one half-batch while the
-        # host codec (GIL-releasing C++) works on the other
+    def run_iters(n):
+        # software pipeline across batches: one device dispatch per batch,
+        # with the NEXT batch's decode overlapping the in-flight round trip
+        pend, prev = None, None
         total = 0
-        imgs1 = list(pool.map(codec.decode, jpegs[:half]))
-        pend1 = composer.compose_images_async(imgs1)
-        imgs2 = list(pool.map(codec.decode, jpegs[half:]))
-        composer.finish(pend1, imgs1)
-        pend2 = composer.compose_images_async(imgs2)
-        sizes1 = pool.map(
-            lambda im: len(codec.encode(im, restart_interval=RESTART)), imgs1)
-        total += sum(sizes1)
-        composer.finish(pend2, imgs2)
-        sizes2 = pool.map(
-            lambda im: len(codec.encode(im, restart_interval=RESTART)), imgs2)
-        return total + sum(sizes2)
+        for _ in range(n):
+            images = list(pool.map(codec.decode, jpegs))
+            if pend is not None:
+                composer.finish(pend, prev)
+                total += sum(pool.map(
+                    lambda im: len(codec.encode(im, restart_interval=RESTART)),
+                    prev))
+            pend = composer.compose_images_async(images)
+            prev = images
+        composer.finish(pend, prev)
+        total += sum(pool.map(
+            lambda im: len(codec.encode(im, restart_interval=RESTART)), prev))
+        return total
 
-    pipeline()  # warmup: compile + codec caches
+    run_iters(1)  # warmup: compile + codec caches
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        pipeline()
+    run_iters(ITERS)
     dt = time.perf_counter() - t0
 
     mp = W * H / 1e6 * BATCH * ITERS
@@ -144,4 +154,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MJT_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(supervise())
