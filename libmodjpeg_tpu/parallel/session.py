@@ -36,8 +36,14 @@ class GridSession:
         self.meta = img
         self.mesh = mesh
         if mesh is not None:
-            sh = NamedSharding(mesh, P(("batch", "grid")))
-            self.grids = [jax.device_put(a, sh) for a in img.coefs]
+            n = mesh.devices.size
+            self.grids = []
+            for a in img.coefs:
+                # shard block rows when evenly divisible; XLA requires exact
+                # divisibility for device_put shardings — replicate otherwise
+                spec = P(("batch", "grid")) if a.shape[0] % n == 0 else P()
+                self.grids.append(
+                    jax.device_put(a, NamedSharding(mesh, spec)))
         else:
             self.grids = [jnp.asarray(a) for a in img.coefs]
         self.quants = [jnp.asarray(img.quant_table_for(c))
