@@ -66,6 +66,9 @@ Options:
 
 \t--arithmetric, -A
 \t\tUse arithmetric coding instead of Huffman coding.
+
+\t--restart-interval, -R n
+\t\tEmit a restart marker every n MCUs (enables parallel decode downstream).
 """
 
 _LONG = {
@@ -73,9 +76,9 @@ _LONG = {
     "--offset": "-m", "--luminance": "-y", "--tintblue": "-b",
     "--tintred": "-r", "--pixelate": "-x", "--grayscale": "-g",
     "--progressive": "-P", "--optimize": "-O", "--arithmetric": "-A",
-    "--help": "-h",
+    "--restart-interval": "-R", "--help": "-h",
 }
-_TAKES_ARG = {"-i", "-o", "-d", "-p", "-m", "-y", "-b", "-r"}
+_TAKES_ARG = {"-i", "-o", "-d", "-p", "-m", "-y", "-b", "-r", "-R"}
 
 
 def main(argv=None) -> int:
@@ -84,6 +87,7 @@ def main(argv=None) -> int:
     position = C.ALIGN_TOP | C.ALIGN_LEFT  # modjpeg.c:53
     offset_x = offset_y = 0
     options = 0
+    restart_interval = None  # new vs reference: parallel-codec control
 
     i = 0
     while i < len(argv):
@@ -112,7 +116,8 @@ def main(argv=None) -> int:
                 if img is None:
                     print(f"Can't write image to '{val}'", file=sys.stderr)
                     return 1
-                write_jpeg(img, val, options=options)
+                write_jpeg(img, val, options=options,
+                           restart_interval=restart_interval)
             elif arg == "-d":
                 if "," in val:
                     dropon_path, mask_path = val.split(",", 1)
@@ -174,6 +179,11 @@ def main(argv=None) -> int:
             elif arg == "-g":
                 if img is not None:
                     img = fx.grayscale(img)
+            elif arg == "-R":
+                try:
+                    restart_interval = int(val)
+                except (TypeError, ValueError):
+                    print("Invalid restart interval", file=sys.stderr)
             elif arg == "-O":
                 options |= C.OPTION_OPTIMIZE
             elif arg == "-P":

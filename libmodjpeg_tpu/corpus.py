@@ -30,7 +30,6 @@ from typing import Optional
 import numpy as np
 
 from . import constants as C
-from . import codec
 from .dropon import read_dropon
 from .errors import ModJpegError
 from .jpegio import read_jpeg, write_jpeg

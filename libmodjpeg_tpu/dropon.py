@@ -8,8 +8,7 @@ colorspaces.
 
 from __future__ import annotations
 
-import os
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

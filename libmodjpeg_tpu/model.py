@@ -12,7 +12,7 @@ mesh along the leading (block-grid) axes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import numpy as np
 

@@ -16,7 +16,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
-from ..model import CoefImage, CompiledDropon, Dropon
+from ..model import CoefImage, Dropon
 from ..ops.compose import blend_blocks, blend_blocks_auto, requant_trunc
 
 

@@ -17,7 +17,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
 from ..model import CoefImage, Dropon
-from ..ops import effects as fx
 from .grid import _apply_effect, _compose_component_sharded
 
 

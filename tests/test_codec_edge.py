@@ -1,7 +1,6 @@
 """Codec edge cases: exotic tables, colorspace guards, big values."""
 
 import io
-import struct
 
 import numpy as np
 import pytest
