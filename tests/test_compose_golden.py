@@ -261,3 +261,24 @@ def test_uniform_partial_blend_matches_reference(ref_tools, tmp_path, blend):
     ref_pix = to_pixels(ref_img, mj.COLORSPACE_RGB).astype(np.float64)
     our_pix = to_pixels(our_img, mj.COLORSPACE_RGB).astype(np.float64)
     assert psnr(our_pix[region], ref_pix[region]) > 35
+
+
+def test_committed_historical_golden():
+    """Against the reference repo's COMMITTED image_dropon.jpg (produced by
+    the original author with their libjpeg build years ago): every block
+    outside the 160x50 top-left dropon footprint must be bit-exact."""
+    golden = decode(open(f"{IMAGES}/image_dropon.jpg", "rb").read())
+    assert golden.progressive
+
+    img = mj.read_jpeg(f"{IMAGES}/image.jpg")
+    d = mj.read_dropon(f"{IMAGES}/dropon.png")
+    out = mj.compose(img, d, mj.ALIGN_TOP | mj.ALIGN_LEFT, 0, 0)
+    ours = decode(mj.write_jpeg(out, options=mj.OPTION_PROGRESSIVE))
+
+    slices = footprint_blocks(img, 0, 0, d.width, d.height)
+    assert_untouched_exact(golden, ours, slices)
+    # and inside the footprint we are close to the historical composite
+    region = (slice(0, d.height), slice(0, d.width))
+    gpix = to_pixels(golden, mj.COLORSPACE_RGB).astype(np.float64)
+    opix = to_pixels(ours, mj.COLORSPACE_RGB).astype(np.float64)
+    assert psnr(opix[region], gpix[region]) > 40
