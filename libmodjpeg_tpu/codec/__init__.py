@@ -86,6 +86,25 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.mjt_free_buffer.argtypes = [ctypes.c_void_p]
+        lib.mjt_encode_ptrs.restype = ctypes.c_int32
+        lib.mjt_encode_ptrs.argtypes = [
+            ctypes.c_int32,  # width
+            ctypes.c_int32,  # height
+            ctypes.c_int32,  # ncomps
+            ctypes.POINTER(ctypes.c_int32),   # comp_meta
+            ctypes.POINTER(ctypes.c_uint16),  # qtables
+            ctypes.POINTER(ctypes.c_uint8),   # qt_present
+            ctypes.POINTER(ctypes.c_void_p),  # per-comp coef pointers
+            ctypes.c_int32,  # options
+            ctypes.c_int32,  # restart_interval
+            ctypes.c_int32,  # nthreads
+            ctypes.c_char_p,  # markers blob
+            ctypes.c_int64,  # markers len
+            ctypes.POINTER(ctypes.c_void_p),  # out buf
+            ctypes.POINTER(ctypes.c_int64),  # out len
+            ctypes.c_char_p,  # errbuf
+            ctypes.c_int64,  # errbuf len
+        ]
         lib.mjt_encode.restype = ctypes.c_int32
         lib.mjt_encode.argtypes = [
             ctypes.c_int32,  # width
@@ -211,7 +230,6 @@ def encode(
     lib = _load()
     ncomps = img.num_components
     comp_meta = np.zeros(4 * ncomps, dtype=np.int32)
-    total = 0
     for c, ci in enumerate(img.components):
         comp_meta[c * 4 : c * 4 + 4] = [
             ci.component_id,
@@ -219,15 +237,12 @@ def encode(
             ci.v_samp,
             ci.quant_tbl_no,
         ]
-        total += ci.padded_height_in_blocks * ci.padded_width_in_blocks * 64
 
-    coefs = np.empty(total, dtype=np.int16)
-    off = 0
-    for c, ci in enumerate(img.components):
-        n = ci.padded_height_in_blocks * ci.padded_width_in_blocks * 64
-        arr = np.ascontiguousarray(img.coefs[c], dtype=np.int16)
-        coefs[off : off + n] = arr.reshape(-1)
-        off += n
+    # zero-copy: hand the C encoder per-component plane pointers directly
+    planes = [np.ascontiguousarray(img.coefs[c], dtype=np.int16)
+              for c in range(ncomps)]
+    ptrs = (ctypes.c_void_p * ncomps)(
+        *[p.ctypes.data_as(ctypes.c_void_p).value for p in planes])
 
     qtables = np.zeros((4, 64), dtype=np.uint16)
     qt_present = np.zeros(4, dtype=np.uint8)
@@ -247,14 +262,14 @@ def encode(
     out_buf = ctypes.c_void_p()
     out_len = ctypes.c_int64()
     errbuf = ctypes.create_string_buffer(512)
-    rc = lib.mjt_encode(
+    rc = lib.mjt_encode_ptrs(
         img.width,
         img.height,
         ncomps,
         comp_meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         qt_present.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        coefs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ptrs,
         int(options),
         int(ri),
         int(nthreads),

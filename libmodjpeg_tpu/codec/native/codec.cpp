@@ -88,6 +88,8 @@ struct Image {
   uint16_t qtables[4][64] = {};  // natural order
   bool qtable_present[4] = {false, false, false, false};
   std::vector<int16_t> coefs[4];  // [padded_h][padded_w][64] natural order
+  // encode fast path: borrow caller-owned coefficient planes (zero copy)
+  const int16_t* ext_coefs[4] = {nullptr, nullptr, nullptr, nullptr};
   std::vector<std::pair<uint16_t, std::vector<uint8_t>>> markers;
   // arithmetic conditioning (DAC)
   int arith_dc_L[4] = {0, 0, 0, 0};
@@ -98,7 +100,8 @@ struct Image {
     return coefs[c].data() + ((size_t)row * comps[c].padded_w + col) * kDctSize2;
   }
   const int16_t* block(int c, int row, int col) const {
-    return coefs[c].data() + ((size_t)row * comps[c].padded_w + col) * kDctSize2;
+    const int16_t* base = ext_coefs[c] ? ext_coefs[c] : coefs[c].data();
+    return base + ((size_t)row * comps[c].padded_w + col) * kDctSize2;
   }
 };
 
