@@ -60,6 +60,22 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int64,
         ]
         lib.mjt_free_image.argtypes = [ctypes.c_void_p]
+        lib.mjt_decode_begin.restype = ctypes.c_void_p
+        lib.mjt_decode_begin.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        lib.mjt_decode_finish.restype = ctypes.c_int32
+        lib.mjt_decode_finish.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
         lib.mjt_get_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
         lib.mjt_get_comp_info.argtypes = [
             ctypes.c_void_p,
@@ -131,13 +147,15 @@ def _load() -> ctypes.CDLL:
 def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
     """Decode a JPEG bitstream into a CoefImage (coefficients + metadata).
 
-    max_pixel > 0 aborts at the frame header before any entropy decoding if
-    width*height exceeds the cap (the reference's anti-DoS guard,
-    image.c:79-82, but enforced even earlier)."""
+    Two-phase zero-copy: the native decoder parses the frame header, we
+    allocate the numpy coefficient planes, and the entropy decoder writes
+    into them directly.  max_pixel > 0 aborts at the frame header before any
+    entropy decoding (the reference's anti-DoS guard, image.c:79-82).
+    """
     lib = _load()
     errbuf = ctypes.create_string_buffer(512)
-    handle = lib.mjt_decode(data, len(data), nthreads, max_pixel,
-                            errbuf, len(errbuf))
+    handle = lib.mjt_decode_begin(data, len(data), nthreads, max_pixel,
+                                  errbuf, len(errbuf))
     if not handle:
         msg = errbuf.value.decode("utf-8", "replace")
         if "max_pixel" in msg:
@@ -171,11 +189,13 @@ def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
             )
             max_h = max(max_h, h)
             max_v = max(max_v, v)
-            arr = np.empty((ph, pw, 8, 8), dtype=np.int16)
-            lib.mjt_get_coefs(
-                handle, c, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
-            )
-            coefs.append(arr)
+            coefs.append(np.empty((ph, pw, 8, 8), dtype=np.int16))
+
+        ptrs = (ctypes.c_void_p * max(ncomps, 1))(
+            *[a.ctypes.data_as(ctypes.c_void_p).value for a in coefs])
+        rc = lib.mjt_decode_finish(handle, ptrs, errbuf, len(errbuf))
+        if rc != 0:
+            raise DecodeError(errbuf.value.decode("utf-8", "replace"))
 
         quant_tables = {}
         for t in range(4):
@@ -190,6 +210,10 @@ def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
             if present.value:
                 quant_tables[t] = tbl
 
+        # markers (and a mid-file DRI) may arrive after begin(): re-read
+        lib.mjt_get_info(handle, info)
+        nmarkers = info[7]
+        ri = info[6]
         markers = []
         for i in range(nmarkers):
             mlen = lib.mjt_get_marker_len(handle, i)

@@ -90,6 +90,8 @@ struct Image {
   std::vector<int16_t> coefs[4];  // [padded_h][padded_w][64] natural order
   // encode fast path: borrow caller-owned coefficient planes (zero copy)
   const int16_t* ext_coefs[4] = {nullptr, nullptr, nullptr, nullptr};
+  // decode fast path: caller-owned output planes (written in-place)
+  int16_t* ext_out[4] = {nullptr, nullptr, nullptr, nullptr};
   std::vector<std::pair<uint16_t, std::vector<uint8_t>>> markers;
   // arithmetic conditioning (DAC)
   int arith_dc_L[4] = {0, 0, 0, 0};
@@ -97,7 +99,8 @@ struct Image {
   int arith_ac_K[4] = {5, 5, 5, 5};
 
   int16_t* block(int c, int row, int col) {
-    return coefs[c].data() + ((size_t)row * comps[c].padded_w + col) * kDctSize2;
+    int16_t* base = ext_out[c] ? ext_out[c] : coefs[c].data();
+    return base + ((size_t)row * comps[c].padded_w + col) * kDctSize2;
   }
   const int16_t* block(int c, int row, int col) const {
     const int16_t* base = ext_coefs[c] ? ext_coefs[c] : coefs[c].data();
