@@ -20,7 +20,6 @@ import numpy as np
 from . import constants as C
 from .errors import NullDataError, UnsupportedColorspaceError
 from .model import CoefImage, CompiledDropon, Dropon
-from .ops import compose as composeops
 from .ops import dct as dctops
 
 import dataclasses
@@ -198,26 +197,18 @@ def compile_dropon(d: Dropon, img: CoefImage, blockoffset_x: int,
 
 def compose(img: CoefImage, d: Dropon, align: int = 0, offset_x: int = 0,
             offset_y: int = 0) -> CoefImage:
-    """mj_compose (compose.c:33-180).  Returns a new CoefImage."""
+    """mj_compose (compose.c:33-180).  Returns a new CoefImage.
+
+    Region-only dataflow: only the overlay footprint crosses the host-device
+    boundary (untouched MCUs never leave the host — that is also what makes
+    them bit-exact for free).  Shares placement/compile/blend machinery with
+    the batched path.
+    """
     if img is None or d is None:
         raise NullDataError("image and dropon required")
-    p = plan_placement(img, d, align, offset_x, offset_y)
-    if p.noop:
-        return img.copy()
-
-    cd = compile_dropon(d, img, p.blockoffset_x, p.blockoffset_y,
-                        p.crop_x, p.crop_y, p.crop_w, p.crop_h)
+    from .parallel.batch import BatchComposer
 
     out = img.copy()
-    for c in range(len(cd.image_blocks)):
-        ci = img.components[c]
-        row0 = p.block_y * ci.v_samp  # compose.c:264-265
-        col0 = p.block_x * ci.h_samp
-        grid = composeops.compose_region(
-            jnp.asarray(out.coefs[c]),
-            jnp.asarray(cd.image_blocks[c]),
-            jnp.asarray(cd.alpha_weights[c]),
-            jnp.asarray(img.quant_table_for(c)),
-            jnp.int32(row0), jnp.int32(col0))
-        out.coefs[c] = np.asarray(grid)
+    bc = BatchComposer(out, d, align, offset_x, offset_y)
+    bc.compose_images([out])
     return out
