@@ -190,6 +190,20 @@ struct BitReader {
     return v;
   }
   inline int get_bit() { return (int)get(1); }
+
+  // fast path: guarantee bits up front, then read without bounds checks
+  inline void ensure(int n) {
+    if (nbits < n) refill();
+  }
+  inline uint32_t peek_nc(int n) const {
+    return (uint32_t)((acc >> (nbits - n)) & ((1ull << n) - 1));
+  }
+  inline uint32_t get_nc(int n) {
+    if (n == 0) return 0;
+    uint32_t v = peek_nc(n);
+    nbits -= n;
+    return v;
+  }
 };
 
 // EXTEND per T.81 F.2.2.1
@@ -244,6 +258,21 @@ struct HuffDecoder {
       br.consume(entry >> 8);
       return entry & 0xFF;
     }
+    return decode_slow(br, look);
+  }
+
+  // fast variant: caller has already ensured >= 26 bits are buffered
+  inline int decode_nc(BitReader& br) const {
+    uint32_t look = br.peek_nc(8);
+    uint16_t entry = lookup[look];
+    if (entry != 0) {
+      br.nbits -= entry >> 8;
+      return entry & 0xFF;
+    }
+    return decode_slow(br, look);
+  }
+
+  int decode_slow(BitReader& br, uint32_t look) const {
     int l = 8;
     int32_t code = (int32_t)look;
     br.consume(8);
