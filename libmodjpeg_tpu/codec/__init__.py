@@ -73,6 +73,7 @@ def _load() -> ctypes.CDLL:
         lib.mjt_decode_finish.argtypes = [
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int32,
             ctypes.c_char_p,
             ctypes.c_int64,
         ]
@@ -189,11 +190,13 @@ def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
             )
             max_h = max(max_h, h)
             max_v = max(max_v, v)
-            coefs.append(np.empty((ph, pw, 8, 8), dtype=np.int16))
+            # np.zeros -> calloc: zero pages stay unmapped until a scan
+            # writes them (tiny crafted files can claim enormous frames)
+            coefs.append(np.zeros((ph, pw, 8, 8), dtype=np.int16))
 
         ptrs = (ctypes.c_void_p * max(ncomps, 1))(
             *[a.ctypes.data_as(ctypes.c_void_p).value for a in coefs])
-        rc = lib.mjt_decode_finish(handle, ptrs, errbuf, len(errbuf))
+        rc = lib.mjt_decode_finish(handle, ptrs, 1, errbuf, len(errbuf))
         if rc != 0:
             raise DecodeError(errbuf.value.decode("utf-8", "replace"))
 

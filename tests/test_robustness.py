@@ -1,0 +1,73 @@
+"""Decoder robustness: corrupt/truncated inputs must raise cleanly.
+
+A production ingest codec sees malformed data; it must never crash the
+process, hang, or read out of bounds — a typed DecodeError (or a successful
+tolerant parse) are the only acceptable outcomes.
+"""
+
+import numpy as np
+import pytest
+
+from libmodjpeg_tpu.codec import decode, encode
+from libmodjpeg_tpu import constants as C
+from libmodjpeg_tpu.errors import ModJpegError
+
+IMAGES = "/root/reference/src/contrib/images"
+
+
+@pytest.fixture(scope="module")
+def samples():
+    base = open(f"{IMAGES}/image.jpg", "rb").read()
+    img = decode(base)
+    return {
+        "baseline": base,
+        "progressive": encode(img, options=C.OPTION_PROGRESSIVE),
+        "arithmetic": encode(img, options=C.OPTION_ARITHMETRIC),
+        "restarts": encode(img, restart_interval=4),
+    }
+
+
+def _try(data):
+    try:
+        decode(data)
+    except ModJpegError:
+        pass  # clean failure is fine
+    # tolerant success is also fine; crash/hang is not (enforced by pytest)
+
+
+@pytest.mark.parametrize("kind", ["baseline", "progressive", "arithmetic",
+                                  "restarts"])
+def test_truncations(samples, kind):
+    data = samples[kind]
+    for frac in (0.02, 0.1, 0.3, 0.6, 0.9, 0.99):
+        _try(data[: int(len(data) * frac)])
+
+
+@pytest.mark.parametrize("kind", ["baseline", "progressive", "arithmetic"])
+def test_byte_corruptions(samples, kind):
+    data = bytearray(samples[kind])
+    rng = np.random.RandomState(0)
+    for _ in range(60):
+        mut = bytearray(data)
+        for _ in range(rng.randint(1, 6)):
+            pos = rng.randint(0, len(mut))
+            mut[pos] = rng.randint(0, 256)
+        _try(bytes(mut))
+
+
+def test_random_garbage():
+    rng = np.random.RandomState(1)
+    for n in (0, 1, 2, 3, 10, 1000):
+        _try(bytes(rng.randint(0, 256, n, dtype=np.uint8)))
+        _try(b"\xff\xd8" + bytes(rng.randint(0, 256, n, dtype=np.uint8)))
+
+
+def test_pathological_markers():
+    # SOI + endless fill bytes
+    _try(b"\xff\xd8" + b"\xff" * 5000)
+    # zero-length-ish segments
+    _try(b"\xff\xd8\xff\xdb\x00\x01")
+    _try(b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x00")
+    # huge claimed dimensions with max_pixel guard off but no scan data
+    _try(b"\xff\xd8\xff\xc0\x00\x11\x08\xff\xff\xff\xff\x03"
+         b"\x01\x22\x00\x02\x11\x01\x03\x11\x01\xff\xd9")
