@@ -108,6 +108,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int32,  # width
             ctypes.c_int32,  # height
             ctypes.c_int32,  # ncomps
+            ctypes.c_int32,  # precision
             ctypes.POINTER(ctypes.c_int32),   # comp_meta
             ctypes.POINTER(ctypes.c_uint16),  # qtables
             ctypes.POINTER(ctypes.c_uint8),   # qt_present
@@ -127,6 +128,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int32,  # width
             ctypes.c_int32,  # height
             ctypes.c_int32,  # ncomps
+            ctypes.c_int32,  # precision
             ctypes.POINTER(ctypes.c_int32),  # comp_meta
             ctypes.POINTER(ctypes.c_uint16),  # qtables
             ctypes.POINTER(ctypes.c_uint8),  # qt_present
@@ -165,9 +167,10 @@ def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
             raise ImageSizeError(msg)
         raise DecodeError(msg)
     try:
-        info = (ctypes.c_int32 * 8)()
+        info = (ctypes.c_int32 * 9)()
         lib.mjt_get_info(handle, info)
-        width, height, ncomps, jcs, prog, arith, ri, nmarkers = list(info)
+        (width, height, ncomps, jcs, prog, arith, ri, nmarkers,
+         precision) = list(info)
 
         components = []
         coefs = []
@@ -237,6 +240,7 @@ def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
             progressive=bool(prog),
             arithmetic=bool(arith),
             restart_interval=ri,
+            precision=precision,
         )
     finally:
         lib.mjt_free_image(handle)
@@ -293,6 +297,7 @@ def encode(
         img.width,
         img.height,
         ncomps,
+        int(getattr(img, "precision", 8)),
         comp_meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         qtables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         qt_present.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -77,6 +77,7 @@ struct HuffTable {
 
 struct Image {
   int width = 0, height = 0, ncomps = 0;
+  int precision = 8;  // sample precision: 8 or 12 (T.81 B.2.2)
   int max_h = 1, max_v = 1;
   int mcus_wide = 0, mcus_high = 0;
   bool progressive = false;

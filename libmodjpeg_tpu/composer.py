@@ -116,8 +116,28 @@ def _alpha_to_weights(plane: jax.Array, fh: int, fv: int) -> jax.Array:
 
 
 def _convert_canvas(canvas: np.ndarray, src_cs: int, jpeg_cs: int) -> list:
-    """3-channel canvas in src colorspace -> list of target-space planes."""
+    """3-channel canvas in src colorspace -> list of target-space planes.
+
+    CMYK/YCCK targets (beyond the reference, which rejects 4-component
+    JPEGs — image.c:84-92): Adobe stores CMYK inverted (sample 255 = no
+    ink), so an RGB dropon maps exactly to (C',M',Y') = (R,G,B) with a
+    constant K' = 255 plane; YCCK applies the YCC transform on top.  The
+    masked blend then composites all four components, pulling K' toward
+    "no black ink" inside the footprint."""
     cf = jnp.asarray(canvas, jnp.float32)
+    if jpeg_cs in (C.JCS_CMYK, C.JCS_YCCK):
+        if src_cs == C.COLORSPACE_YCC:
+            rgb = dctops.ycc_to_rgb(cf)
+        elif src_cs in (C.COLORSPACE_RGB, C.COLORSPACE_GRAYSCALE):
+            rgb = cf
+        else:
+            raise UnsupportedColorspaceError(str(src_cs))
+        if jpeg_cs == C.JCS_YCCK:
+            out = dctops.rgb_to_ycc(rgb)
+        else:
+            out = rgb
+        k = jnp.full_like(cf[..., 0], 255.0)
+        return [out[..., 0], out[..., 1], out[..., 2], k]
     if jpeg_cs == C.JCS_YCbCr:
         if src_cs == C.COLORSPACE_RGB:
             out = dctops.rgb_to_ycc(cf)
@@ -179,11 +199,16 @@ def compile_dropon(d: Dropon, img: CoefImage, blockoffset_x: int,
     ncomps = len(planes)
 
     max_h, max_v = img.sampling.max_h_samp, img.sampling.max_v_samp
+    # 12-bit target frames: an 8-bit dropon sample p maps to the 12-bit
+    # sample p<<4, so the dropon's DCT scales linearly by 16 (the alpha
+    # weights are a 0..1 blend fraction and stay precision-independent)
+    scale = float(1 << (getattr(img, "precision", 8) - 8))
     image_blocks, alpha_weights, samp = [], [], []
     for c in range(ncomps):
         ci = img.components[c]
         fh, fv = max_h // ci.h_samp, max_v // ci.v_samp
-        image_blocks.append(np.asarray(_plane_to_dct_blocks(planes[c], fh, fv)))
+        blocks = np.asarray(_plane_to_dct_blocks(planes[c], fh, fv))
+        image_blocks.append(blocks * scale if scale != 1.0 else blocks)
         # alpha: encoded claiming source colorspace == target so there is no
         # color transform (dropon.c:402-415); all three alpha channels are
         # identical, so each component just subsamples the same plane

@@ -22,6 +22,8 @@ JCS_UNKNOWN = 0
 JCS_GRAYSCALE = 1
 JCS_RGB = 2
 JCS_YCbCr = 3
+JCS_CMYK = 4
+JCS_YCCK = 5
 
 # -- placement alignment flags (libmodjpeg.h:45-49) -------------------------
 ALIGN_LEFT = 1 << 0

@@ -21,6 +21,12 @@ def _require(img: CoefImage) -> None:
         raise NullDataError("no image")
 
 
+def _dc_clamp(img: CoefImage) -> int:
+    """Dequantized-DC clamp range: ±2047 for 8-bit samples (the reference's
+    hardcoded value, effect.c:149), ±32767 for 12-bit frames."""
+    return (1 << (getattr(img, "precision", 8) + 3)) - 1
+
+
 def grayscale(img: CoefImage) -> CoefImage:
     _require(img)
     if img.jpeg_color_space != C.JCS_YCbCr:
@@ -46,14 +52,15 @@ def tint(img: CoefImage, cb_value: int, cr_value: int) -> CoefImage:
     if cb_value == 0 and cr_value == 0:
         return img.copy()
     out = img.copy()
+    clamp = _dc_clamp(img)
     if cb_value != 0 and out.num_components > 1:
         out.coefs[1] = np.asarray(fx.add_to_dc(
             jnp.asarray(out.coefs[1]), jnp.asarray(out.quant_table_for(1)),
-            jnp.int32(cb_value)))
+            jnp.int32(cb_value), clamp))
     if cr_value != 0 and out.num_components > 2:
         out.coefs[2] = np.asarray(fx.add_to_dc(
             jnp.asarray(out.coefs[2]), jnp.asarray(out.quant_table_for(2)),
-            jnp.int32(cr_value)))
+            jnp.int32(cr_value), clamp))
     return out
 
 
@@ -64,5 +71,5 @@ def luminance(img: CoefImage, value: int) -> CoefImage:
     out = img.copy()
     out.coefs[0] = np.asarray(fx.add_to_dc(
         jnp.asarray(out.coefs[0]), jnp.asarray(out.quant_table_for(0)),
-        jnp.int32(value)))
+        jnp.int32(value), _dc_clamp(img)))
     return out

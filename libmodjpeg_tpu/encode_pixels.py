@@ -52,25 +52,33 @@ def quant_table(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255).astype(np.uint16)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _plane_to_quantized(plane: jax.Array, quant: jax.Array, fh: int,
-                        fv: int) -> jax.Array:
+                        fv: int, center: float = 128.0) -> jax.Array:
     sub = dctops.subsample_plane(plane, fh, fv)
-    coefs = dctops.fdct_blocks(dctops.tile_blocks(sub))
+    coefs = dctops.fdct_blocks(dctops.tile_blocks(sub), center)
     return jnp.rint(coefs / quant.astype(jnp.float32)).astype(jnp.int16)
 
 
 def from_pixels(pixels, quality: int = 85, subsampling: str = "420",
-                colorspace: int = C.COLORSPACE_RGB) -> CoefImage:
+                colorspace: int = C.COLORSPACE_RGB,
+                precision: int = 8) -> CoefImage:
     """Encode raw pixels to coefficient space.
 
     pixels: uint8 [H, W, 3] (RGB or YCC per `colorspace`) or [H, W]/[H, W, 1]
     grayscale.  subsampling: '444' | '422' | '420' | 'gray'.
+    precision: 8, or 12 for high-bit-depth samples in [0, 4095] (uint16
+    input; the base quant tables scale by 16 to stay at the same relative
+    coarseness, using 16-bit DQT segments).
     """
+    if precision not in (8, 12):
+        raise ValueError(f"bad precision {precision}")
     arr = np.asarray(pixels)
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w = arr.shape[:2]
+    center = float(1 << (precision - 1))
+    qscale = 1 << (precision - 8)
 
     if subsampling == "gray" or arr.shape[2] == 1:
         samp = [(1, 1)]
@@ -92,7 +100,8 @@ def from_pixels(pixels, quality: int = 85, subsampling: str = "420",
     if gray:
         if arr.shape[2] == 3:
             if colorspace == C.COLORSPACE_RGB:
-                ycc = np.asarray(dctops.rgb_to_ycc(jnp.asarray(arr, jnp.float32)))
+                ycc = np.asarray(dctops.rgb_to_ycc(
+                    jnp.asarray(arr, jnp.float32), center))
                 planes = [ycc[..., 0]]
             else:
                 planes = [arr[..., 0].astype(np.float32)]
@@ -101,7 +110,8 @@ def from_pixels(pixels, quality: int = 85, subsampling: str = "420",
         jcs = C.JCS_GRAYSCALE
     else:
         if colorspace == C.COLORSPACE_RGB:
-            ycc = np.asarray(dctops.rgb_to_ycc(jnp.asarray(arr, jnp.float32)))
+            ycc = np.asarray(dctops.rgb_to_ycc(
+                jnp.asarray(arr, jnp.float32), center))
         elif colorspace == C.COLORSPACE_YCC:
             ycc = arr.astype(np.float32)
         else:
@@ -116,6 +126,9 @@ def from_pixels(pixels, quality: int = 85, subsampling: str = "420",
     qtables = {0: quant_table(_STD_LUMA, quality)}
     if not gray:
         qtables[1] = quant_table(_STD_CHROMA, quality)
+    if qscale != 1:
+        qtables = {t: np.clip(q.astype(np.int64) * qscale, 1, 65535)
+                   .astype(np.uint16) for t, q in qtables.items()}
 
     comps, coefs = [], []
     for c, (sh, sv) in enumerate(samp):
@@ -125,7 +138,8 @@ def from_pixels(pixels, quality: int = 85, subsampling: str = "420",
         qno = 0 if c == 0 or gray else 1
         fh, fv = max_h // sh, max_v // sv
         q = jnp.asarray(qtables[qno].astype(np.int32))
-        blocks = np.asarray(_plane_to_quantized(jnp.asarray(p), q, fh, fv))
+        blocks = np.asarray(_plane_to_quantized(jnp.asarray(p), q, fh, fv,
+                                                center))
         comps.append(ComponentInfo(
             component_id=c + 1, h_samp=sh, v_samp=sv, quant_tbl_no=qno,
             width_in_blocks=-(-(w * sh) // (8 * max_h)),
@@ -137,4 +151,5 @@ def from_pixels(pixels, quality: int = 85, subsampling: str = "420",
     return CoefImage(
         width=w, height=h, jpeg_color_space=jcs, components=comps,
         coefs=coefs, quant_tables=qtables,
-        sampling=Sampling(max_h_samp=max_h, max_v_samp=max_v))
+        sampling=Sampling(max_h_samp=max_h, max_v_samp=max_v),
+        precision=precision)

@@ -74,6 +74,8 @@ class CoefImage:
     progressive: bool = False
     arithmetic: bool = False
     restart_interval: int = 0
+    # sample precision (T.81 B.2.2): 8, or 12 for extended/progressive frames
+    precision: int = 8
 
     @property
     def num_components(self) -> int:
@@ -95,6 +97,7 @@ class CoefImage:
             progressive=self.progressive,
             arithmetic=self.arithmetic,
             restart_interval=self.restart_interval,
+            precision=self.precision,
         )
 
 

@@ -36,28 +36,29 @@ def _t32() -> np.ndarray:
     return dct_matrix_np().astype(np.float32)
 
 
-@jax.jit
-def fdct_blocks(pixels: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1,))
+def fdct_blocks(pixels: jax.Array, center: float = 128.0) -> jax.Array:
     """Forward DCT of level-shifted pixel blocks.
 
-    pixels: [..., 8, 8] float32 sample values in [0, 255].
+    pixels: [..., 8, 8] float32 sample values in [0, 2^P - 1]; ``center`` is
+    the level shift 2^(P-1) (128 for 8-bit samples, 2048 for 12-bit).
     Returns [..., 8, 8] float32 unquantized JPEG-scale coefficients.
     """
-    x = pixels - 128.0
+    x = pixels - center
     T = _t32()
     return jnp.einsum("ux,...xy,vy->...uv", T, x, T,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
 
 
-@jax.jit
-def idct_blocks(coefs: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1,))
+def idct_blocks(coefs: jax.Array, center: float = 128.0) -> jax.Array:
     """Inverse DCT: [..., 8, 8] coefficients -> [..., 8, 8] pixel values."""
     T = _t32()
     x = jnp.einsum("ux,...uv,vy->...xy", T, coefs, T,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
-    return x + 128.0
+    return x + center
 
 
 def tile_blocks(plane: jax.Array) -> jax.Array:
@@ -74,20 +75,21 @@ def untile_blocks(blocks: jax.Array) -> jax.Array:
 
 # -- color conversion (JFIF / libjpeg float formulas) ------------------------
 
-@jax.jit
-def rgb_to_ycc(rgb: jax.Array) -> jax.Array:
-    """[..., 3] float32 RGB in [0,255] -> [..., 3] YCbCr in [0,255]."""
+@functools.partial(jax.jit, static_argnums=(1,))
+def rgb_to_ycc(rgb: jax.Array, center: float = 128.0) -> jax.Array:
+    """[..., 3] float32 RGB in [0, 2^P - 1] -> [..., 3] YCbCr; ``center`` is
+    the chroma zero point 2^(P-1)."""
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + center
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + center
     return jnp.stack([y, cb, cr], axis=-1)
 
 
-@jax.jit
-def ycc_to_rgb(ycc: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnums=(1,))
+def ycc_to_rgb(ycc: jax.Array, center: float = 128.0) -> jax.Array:
     """[..., 3] YCbCr -> RGB (JFIF inverse)."""
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - center, ycc[..., 2] - center
     r = y + 1.402 * cr
     g = y - 0.344136286 * cb - 0.714136286 * cr
     b = y + 1.772 * cb

@@ -6,6 +6,8 @@ parallel on the VPU, trivially shardable over a mesh (SURVEY.md §3.5).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -25,13 +27,17 @@ def zero_ac(comp_grid: jax.Array) -> jax.Array:
     return comp_grid * mask
 
 
-@jax.jit
-def add_to_dc(comp_grid: jax.Array, quant: jax.Array, value: jax.Array) -> jax.Array:
-    """tint / luminance: dequantize DC, add value, clamp to +-2047,
-    requantize with truncating division (effect.c:143-153,207-217)."""
+@functools.partial(jax.jit, static_argnums=(3,))
+def add_to_dc(comp_grid: jax.Array, quant: jax.Array, value: jax.Array,
+              clamp: int = 2047) -> jax.Array:
+    """tint / luminance: dequantize DC, add value, clamp to +-clamp,
+    requantize with truncating division (effect.c:143-153,207-217).
+
+    The reference hardcodes +-2047, the dequantized DC range for 8-bit
+    samples; 12-bit frames use +-32767 ((1 << (precision + 3)) - 1)."""
     q0 = quant[0, 0].astype(jnp.int32)
     dc = comp_grid[:, :, 0, 0].astype(jnp.int32)
     dc = dc * q0 + value.astype(jnp.int32)
-    dc = jnp.clip(dc, -2047, 2047)
+    dc = jnp.clip(dc, -clamp, clamp)
     dc = jnp.sign(dc) * (jnp.abs(dc) // q0)
     return comp_grid.at[:, :, 0, 0].set(dc.astype(comp_grid.dtype))

@@ -50,6 +50,17 @@ def assert_matches_libjpeg(img, dump_tool, jpeg_path):
         )
 
 
+def make_gradient_pixels(rng, w, h):
+    """Photo-like uint8 [h, w, 3] pixels: smooth gradients + block texture."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 128 + 70 * np.sin(xx / 23.0) * np.cos(yy / 17.0)
+    tex = rng.randn(h // 8 + 1, w // 8 + 1).astype(np.float32) * 12
+    tex = np.kron(tex, np.ones((8, 8), np.float32))[:h, :w]
+    img = np.stack([base + tex, base * 0.9 + tex, base * 1.05 - tex * 0.5],
+                   axis=-1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def dct_matrix():
     """Orthonormal 8x8 DCT-II matrix (JPEG's DCT scaling)."""
     T = np.zeros((8, 8))
