@@ -51,16 +51,18 @@ from .model import CoefImage, CompiledDropon, Dropon  # noqa: F401
 __version__ = VERSION_STR
 
 
-def read_jpeg(source, max_pixel: int = 0) -> "CoefImage":
+def read_jpeg(source, max_pixel: int = 0,
+              allow_cmyk: bool = False) -> "CoefImage":
     """Read a JPEG (path or bytes) into coefficient space.
 
     Mirrors mj_read_jpeg_from_file/_memory (image.c:33,115) including the
     max_pixel anti-DoS guard (image.c:79-82) and the colorspace guard
-    (image.c:84-92).
+    (image.c:84-92).  allow_cmyk=True extends the guard to admit
+    4-component Adobe CMYK/YCCK frames (beyond the reference).
     """
     from .jpegio import read_jpeg as _impl
 
-    return _impl(source, max_pixel=max_pixel)
+    return _impl(source, max_pixel=max_pixel, allow_cmyk=allow_cmyk)
 
 
 def write_jpeg(img: "CoefImage", dest=None, options: int = 0):

@@ -281,8 +281,16 @@ def encode(
         qtables[t] = np.asarray(tbl, dtype=np.uint16).reshape(-1)
         qt_present[t] = 1
 
+    markers = list(img.markers)
+    if ncomps == 4 and not any(code == 0xFFEE for code, _ in markers):
+        # 4-component frames need an Adobe APP14 so downstream decoders
+        # identify CMYK (transform 0) vs YCCK (transform 2)
+        transform = 2 if img.jpeg_color_space == 5 else 0
+        markers.insert(0, (0xFFEE, b"Adobe\x00\x64\x00\x00\x00\x00"
+                           + bytes([transform])))
+
     blob = bytearray()
-    for code, payload in img.markers:
+    for code, payload in markers:
         blob += int(code).to_bytes(2, "big")
         blob += len(payload).to_bytes(4, "big")
         blob += payload

@@ -31,13 +31,23 @@ def _read_bytes(source: Union[str, bytes, os.PathLike]) -> bytes:
         raise FileIOError(str(e)) from e
 
 
-def read_jpeg(source, max_pixel: int = 0, nthreads: int = 0) -> CoefImage:
+def read_jpeg(source, max_pixel: int = 0, nthreads: int = 0,
+              allow_cmyk: bool = False) -> CoefImage:
+    """Read a JPEG into coefficient space.
+
+    allow_cmyk=False mirrors the reference's colorspace guard (image.c:84-92,
+    GRAYSCALE/RGB/YCbCr only); True additionally admits 4-component Adobe
+    CMYK/YCCK frames, which compose/effects/pixel paths handle natively —
+    a capability extension over the reference.
+    """
     data = _read_bytes(source)
     if not data:
         raise NullDataError("empty input")
     img = codec.decode(data, nthreads=nthreads, max_pixel=max_pixel)
-    # colorspace guard (image.c:84-92): only GRAYSCALE/RGB/YCbCr
-    if img.jpeg_color_space not in (C.JCS_GRAYSCALE, C.JCS_RGB, C.JCS_YCbCr):
+    allowed = (C.JCS_GRAYSCALE, C.JCS_RGB, C.JCS_YCbCr)
+    if allow_cmyk:
+        allowed += (C.JCS_CMYK, C.JCS_YCCK)
+    if img.jpeg_color_space not in allowed:
         raise UnsupportedColorspaceError(
             f"unsupported jpeg colorspace {img.jpeg_color_space}")
     return img

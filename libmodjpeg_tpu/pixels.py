@@ -92,6 +92,27 @@ def to_pixels(img: CoefImage, colorspace: int = C.COLORSPACE_RGB) -> np.ndarray:
             out = ycc[..., :1]
         else:
             raise UnsupportedColorspaceError(str(colorspace))
+    elif jcs in (C.JCS_CMYK, C.JCS_YCCK):
+        # Adobe convention: samples stored inverted (255 = no ink), so
+        # R = C' * K' / maxval; YCCK additionally YCC-transforms C'M'Y'
+        maxf = float(maxval)
+        if jcs == C.JCS_YCCK:
+            cmy = np.asarray(dctops.ycc_to_rgb(
+                jnp.asarray(np.dstack(planes[:3]), jnp.float32), center))
+        else:
+            cmy = np.dstack(planes[:3])
+        k = np.clip(planes[3], 0.0, maxf)[..., None]
+        rgb = np.clip(cmy, 0.0, maxf) * k / maxf
+        if colorspace == C.COLORSPACE_RGB:
+            out = rgb
+        elif colorspace == C.COLORSPACE_YCC:
+            out = np.asarray(dctops.rgb_to_ycc(jnp.asarray(rgb, jnp.float32),
+                                               center))
+        elif colorspace == C.COLORSPACE_GRAYSCALE:
+            out = np.asarray(dctops.rgb_to_ycc(
+                jnp.asarray(rgb, jnp.float32), center))[..., :1]
+        else:
+            raise UnsupportedColorspaceError(str(colorspace))
     else:
         raise UnsupportedColorspaceError(f"jpeg colorspace {jcs}")
     dtype = np.uint8 if precision == 8 else np.uint16
