@@ -106,7 +106,9 @@ def main():
 
     rng = np.random.RandomState(42)
     W, H = 1920, 1088
-    BATCH = int(os.environ.get("MJT_BENCH_BATCH", "8"))
+    # batch 12 amortizes the tunnel round-trip latency (the dominant cost on
+    # this box: measured ~102 MP/s at batch 8, ~125-145 at batch 12-16)
+    BATCH = int(os.environ.get("MJT_BENCH_BATCH", "12"))
     ITERS = int(os.environ.get("MJT_BENCH_ITERS", "5"))
     RESTART = 32  # MCUs per restart segment -> parallel codec
 

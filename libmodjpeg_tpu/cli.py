@@ -69,6 +69,10 @@ Options:
 
 \t--restart-interval, -R n
 \t\tEmit a restart marker every n MCUs (enables parallel decode downstream).
+
+\t--allow-cmyk, -C
+\t\tAdmit 4-component Adobe CMYK/YCCK input images (extension; the
+\t\treference rejects these). Applies to subsequent -i options.
 """
 
 _LONG = {
@@ -76,7 +80,7 @@ _LONG = {
     "--offset": "-m", "--luminance": "-y", "--tintblue": "-b",
     "--tintred": "-r", "--pixelate": "-x", "--grayscale": "-g",
     "--progressive": "-P", "--optimize": "-O", "--arithmetric": "-A",
-    "--restart-interval": "-R", "--help": "-h",
+    "--restart-interval": "-R", "--allow-cmyk": "-C", "--help": "-h",
 }
 _TAKES_ARG = {"-i", "-o", "-d", "-p", "-m", "-y", "-b", "-r", "-R"}
 
@@ -88,6 +92,7 @@ def main(argv=None) -> int:
     offset_x = offset_y = 0
     options = 0
     restart_interval = None  # new vs reference: parallel-codec control
+    allow_cmyk = False       # new vs reference: 4-component input opt-in
 
     i = 0
     while i < len(argv):
@@ -111,7 +116,7 @@ def main(argv=None) -> int:
 
         try:
             if arg == "-i":
-                img = read_jpeg(val)
+                img = read_jpeg(val, allow_cmyk=allow_cmyk)
             elif arg == "-o":
                 if img is None:
                     print(f"Can't write image to '{val}'", file=sys.stderr)
@@ -184,6 +189,8 @@ def main(argv=None) -> int:
                     restart_interval = int(val)
                 except (TypeError, ValueError):
                     print("Invalid restart interval", file=sys.stderr)
+            elif arg == "-C":
+                allow_cmyk = True
             elif arg == "-O":
                 options |= C.OPTION_OPTIMIZE
             elif arg == "-P":

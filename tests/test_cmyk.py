@@ -117,6 +117,23 @@ def test_compose_on_cmyk(ycck):
     assert np.abs(interior - target).mean() < 6.0
 
 
+def test_cli_allow_cmyk_flag(tmp_path):
+    from libmodjpeg_tpu.cli import main as cli_main
+
+    rng = np.random.RandomState(25)
+    img, _ = _make_cmyk(rng)
+    src = tmp_path / "cmyk.jpg"
+    src.write_bytes(codec.encode(img))
+    out = tmp_path / "out.jpg"
+    # without -C the reference-parity guard rejects the input
+    assert cli_main(["-i", str(src), "-o", str(out)]) == 1
+    # with -C (before -i, order-dependent) it processes end to end
+    assert cli_main(["-C", "-i", str(src), "-x", "-o", str(out)]) == 0
+    back = mj.read_jpeg(out.read_bytes(), allow_cmyk=True)
+    assert back.num_components == 4
+    assert not back.coefs[0].reshape(-1, 64)[:, 1:].any()
+
+
 def test_pixelate_four_components():
     rng = np.random.RandomState(24)
     img, _ = _make_cmyk(rng)
