@@ -28,6 +28,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
+
 namespace mjt {
 
 static const int kDctSize2 = 64;
@@ -210,6 +214,60 @@ struct BitReader {
 // EXTEND per T.81 F.2.2.1
 static inline int huff_extend(int v, int s) {
   return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+}
+
+// ---------------------------------------------------------------------------
+// nonzero-coefficient bitmasks (encoder hot path)
+//
+// The encoder's dominant cost is walking 64 mostly-zero coefficients per
+// block in zigzag order (a scatter).  Instead: one vectorized pass computes
+// a natural-order nonzero bitmask, a table-driven bit permutation moves it
+// to zigzag order, and the emission loop then jumps nonzero-to-nonzero with
+// ctz, loading only the coefficients that actually encode.
+// ---------------------------------------------------------------------------
+
+struct ZigTables {
+  uint8_t nat_to_zig[64];
+  uint64_t spread[8][256];  // [natural byte index][byte value] -> zigzag bits
+  ZigTables() {
+    for (int k = 0; k < 64; ++k) nat_to_zig[kZigzag[k]] = (uint8_t)k;
+    for (int byte = 0; byte < 8; ++byte)
+      for (int val = 0; val < 256; ++val) {
+        uint64_t m = 0;
+        for (int b = 0; b < 8; ++b)
+          if (val & (1 << b)) m |= 1ull << nat_to_zig[byte * 8 + b];
+        spread[byte][val] = m;
+      }
+  }
+};
+static const ZigTables kZig;
+
+static inline uint64_t nonzero_mask_natural(const int16_t* blk) {
+#if defined(__SSE2__)
+  const __m128i zero = _mm_setzero_si128();
+  uint64_t mask = 0;
+  for (int i = 0; i < 4; ++i) {
+    __m128i a = _mm_loadu_si128((const __m128i*)(blk + i * 16));
+    __m128i b = _mm_loadu_si128((const __m128i*)(blk + i * 16 + 8));
+    // saturating pack preserves zero-ness exactly (nonzero never packs to 0)
+    __m128i eq = _mm_cmpeq_epi8(_mm_packs_epi16(a, b), zero);
+    uint32_t z = (uint32_t)_mm_movemask_epi8(eq);
+    mask |= (uint64_t)(~z & 0xFFFFu) << (i * 16);
+  }
+  return mask;
+#else
+  uint64_t mask = 0;
+  for (int i = 0; i < 64; ++i) mask |= (uint64_t)(blk[i] != 0) << i;
+  return mask;
+#endif
+}
+
+static inline uint64_t zigzag_nonzero_mask(const int16_t* blk) {
+  uint64_t nat = nonzero_mask_natural(blk);
+  uint64_t m = 0;
+  for (int byte = 0; byte < 8; ++byte)
+    m |= kZig.spread[byte][(nat >> (byte * 8)) & 0xFF];
+  return m;
 }
 
 // ---------------------------------------------------------------------------
