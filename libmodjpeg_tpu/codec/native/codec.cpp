@@ -288,6 +288,9 @@ struct HuffDecoder {
         valoffset[l] = k - code;
         k += t.counts[l];
         code += t.counts[l];
+        // over-subscribed table (more codes than the l-bit space holds)
+        // would overflow the lookup fill below — reject (T.81 B.2.4.2)
+        if (code > (1 << l)) throw Error("invalid Huffman table");
         maxcode[l] = code - 1;
       } else {
         maxcode[l] = -1;

@@ -5,14 +5,18 @@ process, hang, or read out of bounds — a typed DecodeError (or a successful
 tolerant parse) are the only acceptable outcomes.
 """
 
+import os
+
 import numpy as np
 import pytest
 
+from libmodjpeg_tpu import codec
 from libmodjpeg_tpu.codec import decode, encode
 from libmodjpeg_tpu import constants as C
 from libmodjpeg_tpu.errors import ModJpegError
 
 IMAGES = "/root/reference/src/contrib/images"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -60,6 +64,50 @@ def test_random_garbage():
     for n in (0, 1, 2, 3, 10, 1000):
         _try(bytes(rng.randint(0, 256, n, dtype=np.uint8)))
         _try(b"\xff\xd8" + bytes(rng.randint(0, 256, n, dtype=np.uint8)))
+
+
+def test_oversubscribed_huffman_table(samples):
+    """A DHT whose counts describe more codes than the bit-space holds used
+    to overflow the decoder's lookup fill (found by the sanitizer fuzz
+    harness, tools/fuzz_decode.cpp) — must be a clean error."""
+    data = bytearray(samples["baseline"])
+    i = data.find(b"\xff\xc4")
+    assert i > 0
+    data[i + 5] = 255  # counts[1] = 255: over-subscribed at length 1
+    with pytest.raises(Exception):
+        codec.decode(bytes(data))
+
+
+def test_sanitizer_fuzz_harness(samples, tmp_path):
+    """Build tools/fuzz_decode.cpp with ASan+UBSan and run a corruption fuzz
+    round: any out-of-bounds access in the native codec fails the test."""
+    import shutil
+    import subprocess
+
+    src = os.path.join(REPO, "tools", "fuzz_decode.cpp")
+    binary = os.path.join("/tmp", "mjt_fuzz_decode_test")
+    if (not os.path.exists(binary)
+            or os.path.getmtime(binary) < os.path.getmtime(src)
+            or os.path.getmtime(binary) < max(
+                os.path.getmtime(os.path.join(
+                    REPO, "libmodjpeg_tpu", "codec", "native", f))
+                for f in ("codec.cpp", "decoder.inc", "arith.inc",
+                          "encoder.inc", "api.inc"))):
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        subprocess.run(
+            ["g++", "-O1", "-g", "-fsanitize=address,undefined",
+             "-fno-sanitize-recover=all", "-std=c++17", src, "-pthread",
+             "-o", binary], check=True, capture_output=True)
+    paths = []
+    for kind, data in samples.items():
+        p = tmp_path / f"{kind}.jpg"
+        p.write_bytes(data)
+        paths.append(str(p))
+    r = subprocess.run([binary, "1500", "42"] + paths,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "0 crashes" in r.stdout
 
 
 def test_pathological_markers():

@@ -1,0 +1,63 @@
+// Standalone corruption-fuzz harness for the native codec (built with
+// -fsanitize=address,undefined by tests/test_robustness.py).  Reads corpus
+// JPEG files, then decodes thousands of randomly corrupted / truncated
+// variants: every outcome must be a clean decode or a thrown Error — any
+// OOB access trips the sanitizer and exits nonzero.
+//
+// Usage: fuzz_decode <iterations> <seed> corpus1.jpg [corpus2.jpg ...]
+
+#include "../libmodjpeg_tpu/codec/native/codec.cpp"
+
+#include <cstdio>
+#include <cstdlib>
+#include <fstream>
+#include <random>
+
+static std::vector<uint8_t> slurp(const char* path) {
+  std::ifstream f(path, std::ios::binary);
+  return std::vector<uint8_t>((std::istreambuf_iterator<char>(f)),
+                              std::istreambuf_iterator<char>());
+}
+
+int main(int argc, char** argv) {
+  if (argc < 4) {
+    std::fprintf(stderr, "usage: %s <iters> <seed> corpus...\n", argv[0]);
+    return 2;
+  }
+  long iters = std::atol(argv[1]);
+  std::mt19937 rng((unsigned)std::atol(argv[2]));
+  std::vector<std::vector<uint8_t>> corpus;
+  for (int i = 3; i < argc; ++i) {
+    corpus.push_back(slurp(argv[i]));
+    if (corpus.back().empty()) {
+      std::fprintf(stderr, "empty corpus file %s\n", argv[i]);
+      return 2;
+    }
+  }
+
+  // sanity: every corpus file decodes clean
+  for (auto& data : corpus) {
+    mjt::Decoder dec;
+    dec.decode(data.data(), data.size());
+  }
+
+  long ok = 0, err = 0;
+  for (long t = 0; t < iters; ++t) {
+    std::vector<uint8_t> data = corpus[t % corpus.size()];
+    int flips = 1 + (int)(rng() % 6);
+    for (int f = 0; f < flips; ++f)
+      data[2 + rng() % (data.size() - 2)] = (uint8_t)rng();
+    if (rng() % 10 < 3) data.resize(2 + rng() % (data.size() - 2));
+    try {
+      mjt::Decoder dec;
+      dec.max_pixel = 1 << 24;  // cap crafted huge frames
+      dec.nthreads = 1 + (int)(rng() % 3);
+      dec.decode(data.data(), data.size());
+      ++ok;
+    } catch (const std::exception&) {
+      ++err;
+    }
+  }
+  std::printf("fuzz_decode: %ld decoded, %ld clean errors, 0 crashes\n", ok, err);
+  return 0;
+}
