@@ -35,10 +35,29 @@ int main(int argc, char** argv) {
     }
   }
 
-  // sanity: every corpus file decodes clean
+  // sanity: every corpus file decodes clean, and re-encodes in every mode
+  // under the sanitizer (covers the encode walkers + bit emission too)
   for (auto& data : corpus) {
     mjt::Decoder dec;
     dec.decode(data.data(), data.size());
+    for (int options = 0; options < 8; ++options) {
+      if ((options & 4) && (options & 1)) continue;  // arith ignores optimize
+      mjt::Encoder enc;
+      enc.img = dec.img;
+      enc.opt.optimize = (options & 1) != 0;
+      enc.opt.progressive = (options & 2) != 0;
+      enc.opt.arithmetic = (options & 4) != 0;
+      enc.opt.restart_interval = (int)(rng() % 3);
+      enc.opt.nthreads = 2;
+      enc.encode();
+      mjt::Decoder dec2;
+      dec2.decode(enc.out.data(), enc.out.size());
+      for (int c = 0; c < dec.img.ncomps; ++c)
+        if (dec.img.coefs[c] != dec2.img.coefs[c]) {
+          std::fprintf(stderr, "roundtrip mismatch (options=%d)\n", options);
+          return 1;
+        }
+    }
   }
 
   long ok = 0, err = 0;
