@@ -62,9 +62,3 @@ CODE_TO_ERROR = {
         UnsupportedFiletypeError,
     )
 }
-
-
-def raise_for_code(code: int, msg: str = "") -> None:
-    if code == C.OK:
-        return
-    raise CODE_TO_ERROR.get(code, ModJpegError)(msg or f"error code {code}")

@@ -88,13 +88,16 @@ _PALLAS_DECISION = None
 
 def use_pallas_blend() -> bool:
     """Pallas path on real TPU backends unless MJT_NO_PALLAS is set; the
-    einsum path runs everywhere (CPU tests, interpret-mode validation)."""
+    einsum path runs everywhere else.  MJT_PALLAS_INTERPRET forces the Pallas
+    kernel in interpret mode so the routing is exercisable on CPU meshes."""
     global _PALLAS_DECISION
     if _PALLAS_DECISION is None:
         import os
 
         if os.environ.get("MJT_NO_PALLAS"):
             _PALLAS_DECISION = False
+        elif os.environ.get("MJT_PALLAS_INTERPRET"):
+            _PALLAS_DECISION = True
         else:
             try:
                 plat = jax.devices()[0].platform.lower()
@@ -104,16 +107,26 @@ def use_pallas_blend() -> bool:
     return _PALLAS_DECISION
 
 
+def _pallas_interpret() -> bool:
+    import os
+
+    return bool(os.environ.get("MJT_PALLAS_INTERPRET"))
+
+
 def blend_blocks_auto(x_image: jax.Array, x_dropon: jax.Array,
                       w_alpha: jax.Array) -> jax.Array:
-    """blend_blocks with automatic kernel selection ([N,8,8] contract)."""
+    """blend_blocks with automatic kernel selection ([N,8,8] contract).
+
+    All compose paths (single-image, batch, grid-sharded, graft entry) route
+    through here so the measured kernel is the shipped kernel."""
     if use_pallas_blend():
         from .pallas_compose import blend_blocks_pallas
 
         n = x_image.shape[0]
         y = blend_blocks_pallas(x_image.reshape(n, 64),
                                 x_dropon.reshape(n, 64),
-                                w_alpha.reshape(n, 64))
+                                w_alpha.reshape(n, 64),
+                                interpret=_pallas_interpret())
         return y.reshape(n, 8, 8)
     return blend_blocks(x_image, x_dropon, w_alpha)
 
@@ -129,38 +142,3 @@ def requant_trunc(values: jax.Array, quant: jax.Array) -> jax.Array:
     return jnp.sign(v) * (jnp.abs(v) // q)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def compose_region(comp_grid: jax.Array, dropon_blocks: jax.Array,
-                   alpha_weights: jax.Array, quant: jax.Array,
-                   row0: jax.Array, col0: jax.Array) -> jax.Array:
-    """Compose one component: blend a block region into the coefficient grid.
-
-    comp_grid:     [H, W, 8, 8] int16 quantized coefficients (whole component)
-    dropon_blocks: [h, w, 8, 8] float32 compiled dropon DCT (Q100 scale)
-    alpha_weights: [h, w, 8, 8] float32 normalized mask weights
-    quant:         [8, 8] quantization table
-    row0, col0:    region origin in blocks (block_y*v_samp, block_x*h_samp —
-                   compose.c:264-265)
-
-    Pipeline per touched block (compose.c:237-342): dequantize, masked blend,
-    add truncated correction, requantize with truncating division.
-    Computation is int32/float32 (the reference's in-place int16 dequantize
-    can overflow, see SURVEY.md quirks registry; we deviate deliberately).
-    """
-    h, w = dropon_blocks.shape[:2]
-    region = jax.lax.dynamic_slice(
-        comp_grid, (row0, col0, 0, 0), (h, w, 8, 8)).astype(jnp.int32)
-    qf = quant.astype(jnp.float32)
-    x1 = region.astype(jnp.float32) * qf        # dequantize
-    n = h * w
-    y = blend_blocks(x1.reshape(n, 8, 8),
-                     dropon_blocks.reshape(n, 8, 8).astype(jnp.float32),
-                     alpha_weights.reshape(n, 8, 8).astype(jnp.float32))
-    y = y.reshape(h, w, 8, 8)
-    # image += (int)Y with C truncation-toward-zero (compose.c:315-324):
-    # reconstruct the correction Y' = y - x1 then truncate
-    corr = jnp.trunc(y - x1.reshape(h, w, 8, 8)).astype(jnp.int32)
-    dequant_int = region * quant.astype(jnp.int32)
-    out = requant_trunc(dequant_int + corr, quant)
-    out = jnp.clip(out, -32768, 32767).astype(jnp.int16)
-    return jax.lax.dynamic_update_slice(comp_grid, out, (row0, col0, 0, 0))

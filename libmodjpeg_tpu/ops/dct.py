@@ -109,13 +109,6 @@ def subsample_plane(plane: jax.Array, fh: int, fv: int) -> jax.Array:
     return plane.reshape(h // fv, fv, w // fh, fh).mean(axis=(1, 3))
 
 
-def upsample_plane(plane: jax.Array, fh: int, fv: int) -> jax.Array:
-    """Nearest (replication) upsample by integer factors."""
-    if fh == 1 and fv == 1:
-        return plane
-    return jnp.repeat(jnp.repeat(plane, fv, axis=0), fh, axis=1)
-
-
 def upsample_plane_fancy(plane: jax.Array, fh: int, fv: int) -> jax.Array:
     """Triangle-filter ("fancy") upsample, matching libjpeg's default
     h2v1/h2v2 upsamplers used when the reference decodes a dropon JPEG to

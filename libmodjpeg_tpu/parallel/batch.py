@@ -17,7 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
 from ..model import CoefImage, Dropon
-from ..ops.compose import blend_blocks, blend_blocks_auto, requant_trunc
+from ..ops.compose import blend_blocks_auto, requant_trunc
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -38,9 +38,9 @@ def _compose_batch_component(grids: jax.Array, dropon_blocks: jax.Array,
         alpha_b = jnp.broadcast_to(alpha_weights, (n, h, w, 8, 8))
     else:
         dropon_b, alpha_b = dropon_blocks, alpha_weights
-    y = blend_blocks(x1.reshape(-1, 8, 8),
-                     dropon_b.reshape(-1, 8, 8).astype(jnp.float32),
-                     alpha_b.reshape(-1, 8, 8).astype(jnp.float32))
+    y = blend_blocks_auto(x1.reshape(-1, 8, 8),
+                          dropon_b.reshape(-1, 8, 8).astype(jnp.float32),
+                          alpha_b.reshape(-1, 8, 8).astype(jnp.float32))
     y = y.reshape(n, h, w, 8, 8)
     corr = jnp.trunc(y - x1).astype(jnp.int32)
     out = requant_trunc(region * quant.astype(jnp.int32) + corr, quant)

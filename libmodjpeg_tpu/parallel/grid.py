@@ -17,10 +17,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..model import CoefImage
 from ..ops import effects as fx
-from ..ops.compose import blend_blocks, requant_trunc
+from ..ops.compose import blend_blocks_auto, requant_trunc
 
 
 def _shard_grid(mesh: Mesh, arr: np.ndarray) -> jax.Array:
+    """Shard a [H, W, 8, 8] block grid's row axis over the whole mesh.
+
+    The row axis is zero-padded up to the device-count multiple so exact
+    divisibility is never required; callers trim back to the real row count
+    (zero blocks are inert: every effect maps zero to zero modulo a DC shift
+    that is dropped with the padding, and compose never addresses them)."""
+    n = mesh.devices.size
+    pad = (-arr.shape[0]) % n
+    if pad:
+        arr = np.concatenate(
+            [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
     return jax.device_put(arr, NamedSharding(mesh, P(("batch", "grid"))))
 
 
@@ -46,6 +57,7 @@ def effects_sharded(img: CoefImage, effect: str, mesh: Mesh,
     out = img.copy()
     jcs_ok = img.jpeg_color_space == C.JCS_YCbCr
     for c in range(out.num_components):
+        rows = out.coefs[c].shape[0]
         arr = _shard_grid(mesh, out.coefs[c])
         q = jnp.asarray(out.quant_table_for(c))
         if effect == "grayscale" and jcs_ok and c > 0:
@@ -58,10 +70,7 @@ def effects_sharded(img: CoefImage, effect: str, mesh: Mesh,
             arr = _apply_effect(arr, q, jnp.int32(cr_value), "dc_add")
         elif effect == "luminance" and jcs_ok and c == 0:
             arr = _apply_effect(arr, q, jnp.int32(value), "dc_add")
-        else:
-            out.coefs[c] = np.asarray(arr)
-            continue
-        out.coefs[c] = np.asarray(arr)
+        out.coefs[c] = np.asarray(arr)[:rows]
     return out
 
 
@@ -73,9 +82,9 @@ def _compose_component_sharded(grid: jax.Array, dropon_blocks: jax.Array,
     h, w = dropon_blocks.shape[:2]
     region = grid[row0:row0 + h, col0:col0 + w].astype(jnp.int32)
     x1 = region.astype(jnp.float32) * quant.astype(jnp.float32)
-    y = blend_blocks(x1.reshape(-1, 8, 8),
-                     dropon_blocks.reshape(-1, 8, 8).astype(jnp.float32),
-                     alpha_weights.reshape(-1, 8, 8).astype(jnp.float32))
+    y = blend_blocks_auto(x1.reshape(-1, 8, 8),
+                          dropon_blocks.reshape(-1, 8, 8).astype(jnp.float32),
+                          alpha_weights.reshape(-1, 8, 8).astype(jnp.float32))
     y = y.reshape(h, w, 8, 8)
     corr = jnp.trunc(y - x1).astype(jnp.int32)
     out = requant_trunc(region * quant.astype(jnp.int32) + corr, quant)
@@ -95,9 +104,10 @@ def compose_sharded(img: CoefImage, dropon, align: int, offset_x: int,
         return out
     for c in range(len(bc.cd.image_blocks)):
         ci = img.components[c]
+        rows = out.coefs[c].shape[0]
         arr = _shard_grid(mesh, out.coefs[c])
         arr = _compose_component_sharded(
             arr, bc._dev_dropon[c], bc._dev_alpha[c], bc._dev_quant[c],
             row0=bc.block_y * ci.v_samp, col0=bc.block_x * ci.h_samp)
-        out.coefs[c] = np.asarray(arr)
+        out.coefs[c] = np.asarray(arr)[:rows]
     return out

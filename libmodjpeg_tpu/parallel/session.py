@@ -34,15 +34,14 @@ class GridSession:
     def __init__(self, img: CoefImage, mesh: Optional[Mesh] = None):
         self.meta = img
         self.mesh = mesh
+        self._orig_rows = [a.shape[0] for a in img.coefs]
         if mesh is not None:
-            n = mesh.devices.size
-            self.grids = []
-            for a in img.coefs:
-                # shard block rows when evenly divisible; XLA requires exact
-                # divisibility for device_put shardings — replicate otherwise
-                spec = P(("batch", "grid")) if a.shape[0] % n == 0 else P()
-                self.grids.append(
-                    jax.device_put(a, NamedSharding(mesh, spec)))
+            from .grid import _shard_grid
+
+            # block-row axis padded to the mesh multiple (zero blocks are
+            # inert under every effect, and compose never writes past the
+            # real rows), so ANY image geometry shards over ANY mesh
+            self.grids = [_shard_grid(mesh, a) for a in img.coefs]
         else:
             self.grids = [jnp.asarray(a) for a in img.coefs]
         self.quants = [jnp.asarray(img.quant_table_for(c))
@@ -91,7 +90,7 @@ class GridSession:
     def to_image(self) -> CoefImage:
         out = self.meta.copy()
         for c in range(len(self.grids)):
-            out.coefs[c] = np.asarray(self.grids[c])
+            out.coefs[c] = np.asarray(self.grids[c])[:self._orig_rows[c]]
         return out
 
 

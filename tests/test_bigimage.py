@@ -23,7 +23,9 @@ def synth_big(mp_target: float) -> CoefImage:
     """Synthesize a big 4:2:0 coefficient image with photo-like sparsity."""
     mcus_w = int(np.sqrt(mp_target * 1e6 * (3 / 2)) // 16)
     mcus_h = int(mp_target * 1e6 // (mcus_w * 16 * 16))
-    mcus_h -= mcus_h % 8  # keep block rows divisible by the 8-way mesh
+    if mcus_h % 8 == 0:
+        mcus_h -= 1  # force a NON-divisible block-row count: the session
+        # must shard via padding, not fall back to replication
     W, H = mcus_w * 16, mcus_h * 16
     rng = np.random.RandomState(0)
     comps, coefs = [], []
@@ -62,6 +64,12 @@ def test_big_image_grid_pipeline():
     mesh = make_mesh(batch=1, grid=8)
     t0 = time.perf_counter()
     sess = GridSession(back, mesh)
+    # non-divisible row counts must still REALLY shard (8 distinct shards),
+    # not silently replicate (the round-1 fallback)
+    for g in sess.grids:
+        assert len(g.sharding.device_set) == 8
+        assert not g.sharding.is_fully_replicated
+        assert g.shape[0] % 8 == 0  # padded to the mesh multiple
     sess.effect("luminance", value=60).effect("tint", cb_value=25)
     sess.compose(logo, mj.ALIGN_CENTER)
     out = sess.to_image()

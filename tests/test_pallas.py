@@ -43,3 +43,38 @@ def test_pallas_opaque_identity():
     out = np.asarray(blend_blocks_pallas(
         jnp.asarray(x1), jnp.asarray(x0), jnp.asarray(wb), interpret=True))
     np.testing.assert_allclose(out, x0, atol=3e-2)
+
+
+def test_pallas_routing_under_grid_sharding():
+    """The production routing (blend_blocks_auto -> Pallas) must compile and
+    run inside the GSPMD-sharded grid compose, not just standalone.  Forced
+    via MJT_PALLAS_INTERPRET on the 8-device CPU mesh; the requantized output
+    may differ from the einsum path only by float-rounding at trunc edges."""
+    import os
+
+    import libmodjpeg_tpu as mj
+    import libmodjpeg_tpu.ops.compose as oc
+    from libmodjpeg_tpu.parallel import compose_sharded, make_mesh
+    from libmodjpeg_tpu.parallel import grid as pgrid
+
+    img = mj.read_jpeg("/root/reference/src/contrib/images/image.jpg")
+    logo = mj.read_dropon("/root/reference/src/contrib/images/dropon.png")
+    single = mj.compose(img, logo, mj.ALIGN_CENTER, 3, -7)
+
+    old = oc._PALLAS_DECISION
+    os.environ["MJT_PALLAS_INTERPRET"] = "1"
+    oc._PALLAS_DECISION = True
+    pgrid._compose_component_sharded.clear_cache()
+    try:
+        mesh = make_mesh(batch=1, grid=8)
+        assert oc.use_pallas_blend()
+        sharded = compose_sharded(img, logo, mj.ALIGN_CENTER, 3, -7, mesh)
+    finally:
+        oc._PALLAS_DECISION = old
+        del os.environ["MJT_PALLAS_INTERPRET"]
+        pgrid._compose_component_sharded.clear_cache()
+
+    for c in range(3):
+        diff = sharded.coefs[c].astype(int) - single.coefs[c].astype(int)
+        assert np.abs(diff).max() <= 1, f"comp {c}: {np.abs(diff).max()}"
+        assert (diff != 0).mean() < 0.01, f"comp {c}: {(diff != 0).mean()}"
