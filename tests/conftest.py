@@ -46,6 +46,12 @@ def _ensure_refbuild():
             ["gcc", "-O2", os.path.join(REPO, "tools", "dump_coefs.c"),
              "-ljpeg", "-o", dump],
             check=True, capture_output=True)
+    transcode = os.path.join(REFBUILD, "transcode_ref")
+    if not os.path.exists(transcode):
+        subprocess.run(
+            ["gcc", "-O2", os.path.join(REPO, "tools", "transcode_ref.c"),
+             "-ljpeg", "-o", transcode],
+            check=True, capture_output=True)
     refcompose = os.path.join(REFBUILD, "ref_compose")
     if not os.path.exists(refcompose):
         subprocess.run(
