@@ -256,6 +256,17 @@ def run_corpus(cfg: CorpusConfig) -> dict:
 
 
 def main(argv=None) -> int:
+    # config-system env hooks (A6): platform override + distributed attach,
+    # both of which must precede backend init
+    plat = os.environ.get("MJT_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    from .parallel.session import init_distributed
+
+    init_distributed()  # no-op unless MJT_COORDINATOR is configured
+
     ap = argparse.ArgumentParser(
         description="libmodjpeg_tpu corpus runner (multi-host watermarking)")
     ap.add_argument("--inputs", nargs="+", required=True,

@@ -96,12 +96,17 @@ class GridSession:
 
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> bool:
+                     process_id: Optional[int] = None,
+                     cpu_collectives: Optional[str] = None) -> bool:
     """Initialize jax.distributed for multi-host pod runs.
 
     Reads MJT_COORDINATOR / MJT_NUM_PROCS / MJT_PROC_ID when args are None;
     no-op (returns False) when no coordinator is configured, so single-host
-    runs need no special casing.
+    runs need no special casing.  On TPU pods the cross-host collectives ride
+    ICI natively; on CPU backends (multi-process tests, DCN-only fleets)
+    ``cpu_collectives`` / MJT_CPU_COLLECTIVES selects the transport
+    (e.g. "gloo") — it must be set before the backend initializes, which this
+    helper guarantees by being the first jax call of the process.
     """
     import os
 
@@ -111,6 +116,10 @@ def init_distributed(coordinator: Optional[str] = None,
     num_processes = num_processes or int(os.environ.get("MJT_NUM_PROCS", "1"))
     process_id = process_id if process_id is not None else int(
         os.environ.get("MJT_PROC_ID", "0"))
+    cpu_collectives = cpu_collectives or os.environ.get("MJT_CPU_COLLECTIVES")
+    if cpu_collectives:
+        jax.config.update("jax_cpu_collectives_implementation",
+                          cpu_collectives)
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
