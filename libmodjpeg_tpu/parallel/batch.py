@@ -48,17 +48,24 @@ def _compose_batch_component(grids: jax.Array, dropon_blocks: jax.Array,
     return grids.at[:, row0:row0 + h, col0:col0 + w].set(out)
 
 
-@jax.jit
-def _compose_regions_fused(regions, dropons, alphas, quants):
-    """Compose all components' region batches in one traced computation.
+@functools.partial(jax.jit, static_argnames=("shapes",))
+def _compose_regions_packed(flat, dropons, alphas, quants, shapes):
+    """Compose all components' region batches in one traced computation,
+    packed into a single flat int16 buffer (ONE host->device and ONE
+    device->host transfer per batch — the tunnel/PCIe round trip, not the
+    math, is the hot path's cost on small overlays).
 
-    regions: tuple of [N, h_c, w_c, 8, 8] int16; dropons/alphas: tuple of
-    [h_c, w_c, 8, 8] float32; quants: tuple of [8, 8].
+    flat: [sum(n*h*w*64)] int16; dropons/alphas: tuples of [h_c, w_c, 8, 8]
+    float32 (device-resident); quants: tuple of [8, 8]; shapes: static
+    tuple of (n, h_c, w_c).
     """
-    outs = []
-    for region_i16, dropon, alpha, quant in zip(regions, dropons, alphas, quants):
-        n, h, w = region_i16.shape[:3]
-        region = region_i16.astype(jnp.int32)
+    outs, off = [], 0
+    for (n, h, w), dropon, alpha, quant in zip(shapes, dropons, alphas,
+                                               quants):
+        sz = n * h * w * 64
+        region = jax.lax.slice(flat, (off,), (off + sz,)) \
+            .reshape(n, h, w, 8, 8).astype(jnp.int32)
+        off += sz
         x1 = region.astype(jnp.float32) * quant.astype(jnp.float32)
         d = jnp.broadcast_to(dropon, (n, h, w, 8, 8))
         a = jnp.broadcast_to(alpha, (n, h, w, 8, 8))
@@ -66,8 +73,9 @@ def _compose_regions_fused(regions, dropons, alphas, quants):
                               a.reshape(-1, 8, 8)).reshape(n, h, w, 8, 8)
         corr = jnp.trunc(y - x1).astype(jnp.int32)
         out = requant_trunc(region * quant.astype(jnp.int32) + corr, quant)
-        outs.append(jnp.clip(out, -32768, 32767).astype(jnp.int16))
-    return tuple(outs)
+        outs.append(jnp.clip(out, -32768, 32767).astype(jnp.int16)
+                    .reshape(-1))
+    return jnp.concatenate(outs)
 
 
 class BatchComposer:
@@ -131,29 +139,38 @@ class BatchComposer:
         if self.noop:
             return None
         ncomps = len(self.cd.image_blocks)
-        regions, origins = [], []
+        parts, origins, shapes = [], [], []
+        n = len(images)
         for c in range(ncomps):
             ci = self.template.components[c]
             r0 = self.block_y * ci.v_samp
             c0 = self.block_x * ci.h_samp
             h, w = self.cd.image_blocks[c].shape[:2]
             origins.append((r0, c0, h, w))
-            regions.append(np.stack(
-                [im.coefs[c][r0:r0 + h, c0:c0 + w] for im in images]))
-        outs = _compose_regions_fused(
-            tuple(regions), tuple(self._dev_dropon), tuple(self._dev_alpha),
-            tuple(self._dev_quant))
-        return (outs, origins)
+            shapes.append((n, h, w))
+            parts.append(np.stack(
+                [im.coefs[c][r0:r0 + h, c0:c0 + w] for im in images])
+                .reshape(-1))
+        flat = np.concatenate(parts)
+        out = _compose_regions_packed(
+            flat, tuple(self._dev_dropon), tuple(self._dev_alpha),
+            tuple(self._dev_quant), tuple(shapes))
+        return (out, origins)
 
     def finish(self, pending, images: Sequence[CoefImage]) -> None:
         """Fetch a compose_images_async result and scatter it back."""
         if pending is None:
             return
-        outs, origins = pending
-        host = [np.asarray(o) for o in outs]
+        out, origins = pending
+        flat = np.asarray(out)
+        off = 0
         for c, (r0, c0, h, w) in enumerate(origins):
+            n = len(images)
+            sz = n * h * w * 64
+            host = flat[off:off + sz].reshape(n, h, w, 8, 8)
+            off += sz
             for i, im in enumerate(images):
-                im.coefs[c][r0:r0 + h, c0:c0 + w] = host[c][i]
+                im.coefs[c][r0:r0 + h, c0:c0 + w] = host[i]
 
     def put_batch(self, images: Sequence[CoefImage]) -> list:
         """Stack host images into device batches (sharded if mesh given)."""
