@@ -65,15 +65,18 @@ def read_jpeg(source, max_pixel: int = 0,
     return _impl(source, max_pixel=max_pixel, allow_cmyk=allow_cmyk)
 
 
-def write_jpeg(img: "CoefImage", dest=None, options: int = 0):
+def write_jpeg(img: "CoefImage", dest=None, options: int = 0,
+               ref_markers: bool = False):
     """Write a CoefImage to a path (dest=str) or return bytes (dest=None).
 
     Mirrors mj_write_jpeg_to_file/_memory (image.c:136,211); options are
-    OPTION_* flags (image.c:170-189).
+    OPTION_* flags (image.c:170-189).  ref_markers=True reproduces libjpeg's
+    marker emission (duplicated JFIF APP0) for byte-parity with the
+    reference binary — pair with compose(..., bitexact=True).
     """
     from .jpegio import write_jpeg as _impl
 
-    return _impl(img, dest, options=options)
+    return _impl(img, dest, options=options, ref_markers=ref_markers)
 
 
 def read_dropon(source, mask=None, blend: int = BLEND_FULL) -> "Dropon":
@@ -95,14 +98,24 @@ def read_dropon_from_raw(rawdata, colorspace: int, width: int, height: int,
 
 
 def compose(img: "CoefImage", dropon: "Dropon", align: int = 0,
-            offset_x: int = 0, offset_y: int = 0) -> "CoefImage":
+            offset_x: int = 0, offset_y: int = 0,
+            bitexact: bool = False) -> "CoefImage":
     """Compose a dropon onto an image entirely in the DCT domain.
 
     Mirrors mj_compose (compose.c:33): placement from align flags + offsets,
     crop against borders, MCU-grid alignment via zero-alpha padding, masked
     Jonsson blend.  Returns a new CoefImage (functional style; the reference
     mutates in place).
+
+    ``bitexact=True`` selects the host-side reference-parity path
+    (bitexact.py): touched blocks reproduce compose.c's arithmetic
+    coefficient-for-coefficient, so with ``write_jpeg(..., ref_markers=True)``
+    whole output files are byte-identical to the reference binary's.
     """
+    if bitexact:
+        from .bitexact import compose_bitexact
+
+        return compose_bitexact(img, dropon, align, offset_x, offset_y)
     from .composer import compose as _impl
 
     return _impl(img, dropon, align, offset_x, offset_y)

@@ -15,7 +15,7 @@ import sys
 
 from . import constants as C
 from . import effects as fx
-from .composer import compose
+from . import compose
 from .dropon import read_dropon
 from .errors import ModJpegError
 from .jpegio import read_jpeg, write_jpeg
@@ -80,7 +80,8 @@ _LONG = {
     "--offset": "-m", "--luminance": "-y", "--tintblue": "-b",
     "--tintred": "-r", "--pixelate": "-x", "--grayscale": "-g",
     "--progressive": "-P", "--optimize": "-O", "--arithmetric": "-A",
-    "--restart-interval": "-R", "--allow-cmyk": "-C", "--help": "-h",
+    "--restart-interval": "-R", "--allow-cmyk": "-C", "--bitexact": "-X",
+    "--help": "-h",
 }
 _TAKES_ARG = {"-i", "-o", "-d", "-p", "-m", "-y", "-b", "-r", "-R"}
 
@@ -93,6 +94,7 @@ def main(argv=None) -> int:
     options = 0
     restart_interval = None  # new vs reference: parallel-codec control
     allow_cmyk = False       # new vs reference: 4-component input opt-in
+    bitexact = False         # new vs reference: byte-parity compose mode
 
     i = 0
     while i < len(argv):
@@ -122,7 +124,8 @@ def main(argv=None) -> int:
                     print(f"Can't write image to '{val}'", file=sys.stderr)
                     return 1
                 write_jpeg(img, val, options=options,
-                           restart_interval=restart_interval)
+                           restart_interval=restart_interval,
+                           ref_markers=bitexact)
             elif arg == "-d":
                 if "," in val:
                     dropon_path, mask_path = val.split(",", 1)
@@ -139,7 +142,8 @@ def main(argv=None) -> int:
                     print("Failed to apply the dropon onto the image",
                           file=sys.stderr)
                     return 1
-                img = compose(img, d, position, offset_x, offset_y)
+                img = compose(img, d, position, offset_x, offset_y,
+                              bitexact=bitexact)
             elif arg == "-p":
                 if len(val) != 2:
                     print("Invalid position, use --help for more details",
@@ -191,6 +195,8 @@ def main(argv=None) -> int:
                     print("Invalid restart interval", file=sys.stderr)
             elif arg == "-C":
                 allow_cmyk = True
+            elif arg == "-X":
+                bitexact = True
             elif arg == "-O":
                 options |= C.OPTION_OPTIMIZE
             elif arg == "-P":

@@ -251,12 +251,19 @@ def encode(
     options: int = 0,
     restart_interval: int | None = None,
     nthreads: int = 0,
+    ref_markers: bool = False,
 ) -> bytes:
     """Encode a CoefImage back to a JPEG bitstream.
 
     ``options`` is an OR of C.OPTION_* flags (optimize/progressive/arithmetic,
     matching image.c:170-189 semantics).  ``restart_interval=None`` preserves
     the image's own interval; pass 0 to strip restart markers.
+
+    ``ref_markers=True`` reproduces libjpeg's marker emission exactly for
+    byte-parity with the reference binary: libjpeg writes its own generated
+    JFIF APP0 (version/density copied from the source per
+    jpeg_copy_critical_parameters) and THEN mj_write_jpeg re-emits the saved
+    source markers, so reference outputs carry a duplicated APP0.
     """
     lib = _load()
     ncomps = img.num_components
@@ -282,6 +289,17 @@ def encode(
         qt_present[t] = 1
 
     markers = list(img.markers)
+    if ref_markers and img.jpeg_color_space in (1, 3):  # GRAYSCALE/YCbCr
+        gen = None
+        for code, payload in markers:
+            if code == 0xFFE0 and payload[:5] == b"JFIF\x00":
+                # generated header mirrors the source's version + density,
+                # thumbnail dropped (jpeg_copy_critical_parameters + emit)
+                gen = payload[:12] + b"\x00\x00"
+                break
+        if gen is None:
+            gen = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        markers.insert(0, (0xFFE0, gen))
     if ncomps == 4 and not any(code == 0xFFEE for code, _ in markers):
         # 4-component frames need an Adobe APP14 so downstream decoders
         # identify CMYK (transform 0) vs YCCK (transform 2)

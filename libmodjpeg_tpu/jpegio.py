@@ -55,7 +55,7 @@ def read_jpeg(source, max_pixel: int = 0, nthreads: int = 0,
 
 def write_jpeg(img: CoefImage, dest: Optional[Union[str, os.PathLike]] = None,
                options: int = 0, restart_interval: Optional[int] = None,
-               nthreads: int = 0):
+               nthreads: int = 0, ref_markers: bool = False):
     if img is None:
         raise NullDataError("no image")
     opts = 0
@@ -66,7 +66,7 @@ def write_jpeg(img: CoefImage, dest: Optional[Union[str, os.PathLike]] = None,
     if options & C.OPTION_ARITHMETRIC:
         opts |= 4
     data = codec.encode(img, options=opts, restart_interval=restart_interval,
-                        nthreads=nthreads)
+                        nthreads=nthreads, ref_markers=ref_markers)
     if dest is None:
         return data
     try:

@@ -60,6 +60,14 @@ def _ensure_refbuild():
              "-L" + REFBUILD, "-lmodjpeg", "-Wl,-rpath," + REFBUILD,
              "-o", refcompose],
             check=True, capture_output=True)
+    dumpdropon = os.path.join(REFBUILD, "dump_dropon")
+    if not os.path.exists(dumpdropon):
+        subprocess.run(
+            ["gcc", "-O2", "-I/root/reference/src",
+             os.path.join(REPO, "tools", "dump_dropon.c"),
+             "-L" + REFBUILD, "-lmodjpeg", "-Wl,-rpath," + REFBUILD,
+             "-o", dumpdropon],
+            check=True, capture_output=True)
     return modjpeg, dump
 
 
