@@ -123,6 +123,21 @@ def _load() -> ctypes.CDLL:
             ctypes.c_char_p,  # errbuf
             ctypes.c_int64,  # errbuf len
         ]
+        lib.mjt_encode_ptrs_tables.restype = ctypes.c_int32
+        lib.mjt_encode_ptrs_tables.argtypes = (
+            lib.mjt_encode_ptrs.argtypes[:13]
+            + [ctypes.c_char_p, ctypes.c_int64]   # preset tables blob
+            + lib.mjt_encode_ptrs.argtypes[13:]
+        )
+        lib.mjt_build_optimal_table.restype = ctypes.c_int32
+        lib.mjt_build_optimal_table.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),   # freq[257]
+            ctypes.POINTER(ctypes.c_uint8),   # counts[16] (lengths 1..16)
+            ctypes.POINTER(ctypes.c_uint8),   # symbols[256]
+            ctypes.POINTER(ctypes.c_int32),   # nsyms
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
         lib.mjt_encode.restype = ctypes.c_int32
         lib.mjt_encode.argtypes = [
             ctypes.c_int32,  # width
@@ -246,12 +261,49 @@ def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
         lib.mjt_free_image(handle)
 
 
+def build_optimal_table(freq) -> tuple[bytes, bytes]:
+    """Build a length-limited optimal Huffman table from 257-entry symbol
+    frequencies (entry 256 is the reserved codepoint; pass real counts in
+    0..255).  Returns (counts, symbols): counts[i] = number of codes of
+    length i+1.  Uses the native encoder's own table builder so the
+    tie-breaking matches the optimize pass exactly — tables built from a
+    device-side histogram (ops/histogram.py) produce byte-identical files.
+    """
+    lib = _load()
+    f = np.ascontiguousarray(freq, dtype=np.int64)
+    if f.shape != (257,):
+        raise ValueError("freq must have 257 entries")
+    counts = (ctypes.c_uint8 * 16)()
+    syms = (ctypes.c_uint8 * 256)()
+    nsyms = ctypes.c_int32(0)
+    errbuf = ctypes.create_string_buffer(512)
+    rc = lib.mjt_build_optimal_table(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), counts, syms,
+        ctypes.byref(nsyms), errbuf, len(errbuf))
+    if rc != 0:
+        raise EncodeError(errbuf.value.decode("utf-8", "replace"))
+    return bytes(counts), bytes(syms[: nsyms.value])
+
+
+def pack_preset_tables(tables) -> bytes:
+    """Serialize [(tc, th, counts16, symbols)] into the native preset blob."""
+    blob = bytearray()
+    for tc, th, counts, symbols in tables:
+        counts = bytes(counts)
+        symbols = bytes(symbols)
+        if len(counts) != 16 or sum(counts) != len(symbols):
+            raise ValueError("malformed Huffman table")
+        blob += bytes([tc, th]) + counts + symbols
+    return bytes(blob)
+
+
 def encode(
     img: CoefImage,
     options: int = 0,
     restart_interval: int | None = None,
     nthreads: int = 0,
     ref_markers: bool = False,
+    preset_tables=None,
 ) -> bytes:
     """Encode a CoefImage back to a JPEG bitstream.
 
@@ -319,7 +371,7 @@ def encode(
     out_buf = ctypes.c_void_p()
     out_len = ctypes.c_int64()
     errbuf = ctypes.create_string_buffer(512)
-    rc = lib.mjt_encode_ptrs(
+    common = (
         img.width,
         img.height,
         ncomps,
@@ -333,11 +385,14 @@ def encode(
         int(nthreads),
         blob,
         len(blob),
-        ctypes.byref(out_buf),
-        ctypes.byref(out_len),
-        errbuf,
-        len(errbuf),
     )
+    tail = (ctypes.byref(out_buf), ctypes.byref(out_len), errbuf, len(errbuf))
+    if preset_tables is not None:
+        pblob = (preset_tables if isinstance(preset_tables, bytes)
+                 else pack_preset_tables(preset_tables))
+        rc = lib.mjt_encode_ptrs_tables(*common, pblob, len(pblob), *tail)
+    else:
+        rc = lib.mjt_encode_ptrs(*common, *tail)
     if rc != 0:
         raise EncodeError(errbuf.value.decode("utf-8", "replace"))
     try:

@@ -87,6 +87,37 @@ class GridSession:
             g.block_until_ready()
         return self
 
+    def optimized_tables(self, restart_interval: int = 0) -> list:
+        """Huffman-optimize statistics computed ON the sharded grids.
+
+        The symbol histograms (ops/histogram.py) run where the coefficient
+        shards live — per-shard bincounts + an XLA all-reduce over the mesh —
+        and only the 257-entry totals come back for table build.  Feed the
+        result to ``to_jpeg``/``codec.encode(preset_tables=...)``: the file
+        is byte-identical to the host ``OPTION_OPTIMIZE`` pass.
+        """
+        from ..ops.histogram import optimal_tables
+
+        real = [g[:rows] for g, rows in zip(self.grids, self._orig_rows)]
+        mcus_wide = self.meta.components[0].padded_width_in_blocks \
+            // self.meta.components[0].h_samp
+        return optimal_tables(real, self.meta.components, mcus_wide,
+                              restart_interval)
+
+    def to_jpeg(self, options: int = 0, restart_interval: int = 0,
+                nthreads: int = 0) -> bytes:
+        """Encode the session's image; OPTION_OPTIMIZE statistics run on the
+        mesh (optimized_tables) instead of as a host walk."""
+        from .. import codec
+
+        preset = None
+        if (options & C.OPTION_OPTIMIZE) and not (
+                options & (C.OPTION_PROGRESSIVE | C.OPTION_ARITHMETRIC)):
+            preset = self.optimized_tables(restart_interval)
+        return codec.encode(self.to_image(), options=options,
+                            restart_interval=restart_interval,
+                            nthreads=nthreads, preset_tables=preset)
+
     def to_image(self) -> CoefImage:
         out = self.meta.copy()
         for c in range(len(self.grids)):
