@@ -141,22 +141,14 @@ def main():
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
 
     def run_iters(n):
-        # software pipeline across batches: one device dispatch per batch,
-        # with the NEXT batch's decode overlapping the in-flight round trip
-        pend, prev = None, None
+        # 3-stage streaming pipeline (watermark_stream): host decode, device
+        # round trip (lookahead batches in flight), host encode all overlap,
+        # so steady-state cost per batch is the slowest stage, not the sum
         total = 0
-        for _ in range(n):
-            images = list(pool.map(codec.decode, jpegs))
-            if pend is not None:
-                composer.finish(pend, prev)
-                total += sum(pool.map(
-                    lambda im: len(codec.encode(im, restart_interval=RESTART)),
-                    prev))
-            pend = composer.compose_images_async(images)
-            prev = images
-        composer.finish(pend, prev)
-        total += sum(pool.map(
-            lambda im: len(codec.encode(im, restart_interval=RESTART)), prev))
+        for out in composer.watermark_stream(
+                iter(jpegs * n), batch=BATCH, pool=pool,
+                restart_interval=RESTART):
+            total += len(out)
         return total
 
     run_iters(1)  # warmup: compile + codec caches

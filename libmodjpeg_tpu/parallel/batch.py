@@ -172,6 +172,85 @@ class BatchComposer:
             for i, im in enumerate(images):
                 im.coefs[c][r0:r0 + h, c0:c0 + w] = host[i]
 
+    def watermark_stream(self, datas, *, batch: int = 32, pool=None,
+                         options: int = 0, restart_interval=None,
+                         lookahead: int = 2):
+        """Streaming watermark pipeline: JPEG bytes in -> JPEG bytes out.
+
+        Three overlapped stages — host entropy decode (thread pool), device
+        region compose (async dispatch, ``lookahead`` batches in flight),
+        host entropy encode (thread pool) — so steady-state throughput is the
+        SLOWEST stage, not the sum (a serial loop pays decode + round trip +
+        encode per batch).  Yields encoded bytes in input order.
+
+        ``datas``: iterable of JPEG byte strings with the template's
+        geometry.  ``pool``: optional ThreadPoolExecutor shared with the
+        caller (host decode/encode parallelism).
+        """
+        import queue as _queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .. import codec
+
+        own_pool = pool is None
+        if own_pool:
+            import os as _os
+            pool = ThreadPoolExecutor(max_workers=max(2, _os.cpu_count() or 2))
+        q: _queue.Queue = _queue.Queue(maxsize=max(1, lookahead))
+        stop = object()
+        closed = threading.Event()
+
+        def put(item) -> bool:
+            while not closed.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    pass
+            return False
+
+        def producer():
+            try:
+                it = iter(datas)
+                while not closed.is_set():
+                    chunk = []
+                    for _ in range(batch):
+                        try:
+                            chunk.append(next(it))
+                        except StopIteration:
+                            break
+                    if not chunk:
+                        break
+                    images = list(pool.map(codec.decode, chunk))
+                    pending = self.compose_images_async(images)
+                    if not put((pending, images)):
+                        return
+                put(stop)
+            except BaseException as e:  # surface decode errors to the consumer
+                put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                pending, images = item
+                self.finish(pending, images)
+                yield from pool.map(
+                    lambda im: codec.encode(
+                        im, options=options,
+                        restart_interval=restart_interval), images)
+        finally:
+            closed.set()
+            t.join(timeout=2.0)
+            if own_pool:
+                pool.shutdown(wait=False)
+
     def put_batch(self, images: Sequence[CoefImage]) -> list:
         """Stack host images into device batches (sharded if mesh given)."""
         batches = []

@@ -149,3 +149,41 @@ def test_init_distributed_noop():
     from libmodjpeg_tpu.parallel import init_distributed
 
     assert init_distributed() is False  # no coordinator configured
+
+
+def test_watermark_stream_matches_serial(base, logo):
+    """The 3-stage streaming pipeline yields, in order, exactly what the
+    serial decode -> compose_images -> encode path produces."""
+    from libmodjpeg_tpu import codec
+
+    rng = np.random.RandomState(1)
+    datas = []
+    for _ in range(10):
+        im = base.copy()
+        for c in range(3):
+            mask = rng.randint(0, 2, im.coefs[c].shape[:2])[..., None, None]
+            im.coefs[c] = (im.coefs[c] + mask.astype(np.int16)).astype(np.int16)
+        datas.append(codec.encode(im))
+
+    bc = BatchComposer(base, logo, mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -5, -3)
+    expected = []
+    for d in datas:
+        im = codec.decode(d)
+        bc.compose_images([im])
+        expected.append(codec.encode(im, restart_interval=4))
+
+    got = list(bc.watermark_stream(iter(datas), batch=3,
+                                   restart_interval=4))
+    assert got == expected
+
+
+def test_watermark_stream_early_close(base, logo):
+    """Abandoning the stream mid-run must not wedge (producer unblocks)."""
+    from libmodjpeg_tpu import codec
+
+    data = codec.encode(base)
+    bc = BatchComposer(base, logo, mj.ALIGN_TOP | mj.ALIGN_LEFT)
+    gen = bc.watermark_stream([data] * 12, batch=2, lookahead=1)
+    first = next(gen)
+    assert first[:2] == b"\xff\xd8"
+    gen.close()  # must return promptly, not deadlock
