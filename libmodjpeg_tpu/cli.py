@@ -73,6 +73,10 @@ Options:
 \t--allow-cmyk, -C
 \t\tAdmit 4-component Adobe CMYK/YCCK input images (extension; the
 \t\treference rejects these). Applies to subsequent -i options.
+
+\t--bitexact, -X
+\t\tReference byte-parity mode (extension): composes and writes so the
+\t\toutput file is byte-identical to the reference modjpeg binary.
 """
 
 _LONG = {
