@@ -178,6 +178,34 @@ def main():
 
     from libmodjpeg_tpu.ops.compose import use_pallas_blend
 
+    # surgical stage breakdown (unpipelined): byte scan + window decode /
+    # device round trip / window re-encode + splice
+    surgical_stages = None
+    if getattr(composer, "last_stream_path", "full") == "surgical":
+        plan = composer._surgical_plan()
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            extracts = list(pool.map(plan.extract, jpegs))
+            planes_list = list(pool.map(plan.decode_windows, extracts))
+        t_sdec = (time.perf_counter() - t0) / ITERS
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            composer._finish_surgical(
+                plan, composer._compose_surgical_async(plan, planes_list),
+                planes_list)
+        t_sdev = (time.perf_counter() - t0) / ITERS
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            list(pool.map(lambda t3: len(plan.reencode(*t3)),
+                          zip(jpegs, extracts, planes_list)))
+        t_senc = (time.perf_counter() - t0) / ITERS
+        surgical_stages = {
+            "scan_decode_mp_s": round(mp_batch / t_sdec, 1),
+            "device_round_trip_mp_s": round(mp_batch / t_sdev, 1),
+            "reencode_splice_mp_s": round(mp_batch / t_senc, 1),
+            "touched_segments": f"{len(plan.segs)}/{plan.nsegs_file}",
+        }
+
     mp = mp_batch * ITERS
     mps = mp / dt
     print(json.dumps({
@@ -194,6 +222,8 @@ def main():
             "encode_mp_s": round(mp_batch / t_enc, 1),
         },
         "blend_kernel": "pallas" if use_pallas_blend() else "einsum",
+        "stream_path": getattr(composer, "last_stream_path", "full"),
+        **({"surgical_stages": surgical_stages} if surgical_stages else {}),
         "batch": BATCH,
     }))
 

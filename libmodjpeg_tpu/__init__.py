@@ -121,6 +121,30 @@ def compose(img: "CoefImage", dropon: "Dropon", align: int = 0,
     return _impl(img, dropon, align, offset_x, offset_y)
 
 
+def watermark(data: bytes, dropon: "Dropon", align: int = 0,
+              offset_x: int = 0, offset_y: int = 0,
+              surgical=None) -> bytes:
+    """One-shot bytes-in/bytes-out compose: decode + compose + encode.
+
+    For sequential-Huffman inputs carrying restart markers this takes the
+    surgical splice path (surgical.py): only the restart segments the overlay
+    footprint touches are entropy-coded, the rest of the bitstream is copied
+    verbatim — output coefficients identical to compose()+write_jpeg().
+    ``surgical=False`` forces the full pipeline.  For fleets of
+    same-geometry images, parallel.BatchComposer.watermark_stream amortizes
+    the dropon compilation and pipelines the stages.
+    """
+    from . import codec
+    from .parallel.batch import BatchComposer
+
+    template = codec.decode(data)
+    bc = BatchComposer(template, dropon, align, offset_x, offset_y)
+    if bc.noop:
+        return codec.encode(template)
+    return next(iter(bc.watermark_stream(iter([data]), batch=1,
+                                         surgical=surgical)))
+
+
 def effect_grayscale(img: "CoefImage") -> "CoefImage":
     from .effects import grayscale
 

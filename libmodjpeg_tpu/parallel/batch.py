@@ -172,9 +172,55 @@ class BatchComposer:
             for i, im in enumerate(images):
                 im.coefs[c][r0:r0 + h, c0:c0 + w] = host[i]
 
+    def _surgical_plan(self):
+        """Lazily built surgical splice plan (see surgical.py); plan.ok is
+        False when the template is outside the surgical envelope."""
+        if not hasattr(self, "_splan"):
+            from ..surgical import SurgicalPlan
+
+            origins = []
+            for c in range(len(self.cd.image_blocks)):
+                ci = self.template.components[c]
+                h, w = self.cd.image_blocks[c].shape[:2]
+                origins.append((self.block_y * ci.v_samp,
+                                self.block_x * ci.h_samp, h, w))
+            self._splan = SurgicalPlan(self.template, origins,
+                                       self.template.restart_interval)
+        return self._splan
+
+    def _compose_surgical_async(self, plan, planes_list):
+        """Pack the gathered footprint regions of a batch of window planes
+        and dispatch the same packed compose the full path uses."""
+        n = len(planes_list)
+        parts, shapes = [], []
+        ncomps = len(self.cd.image_blocks)
+        regions = [plan.gather(p) for p in planes_list]
+        for c in range(ncomps):
+            h, w = self.cd.image_blocks[c].shape[:2]
+            shapes.append((n, h, w))
+            parts.append(np.stack([regions[i][c] for i in range(n)])
+                         .reshape(-1))
+        flat = np.concatenate(parts)
+        out = _compose_regions_packed(
+            flat, tuple(self._dev_dropon), tuple(self._dev_alpha),
+            tuple(self._dev_quant), tuple(shapes))
+        return (out, shapes)
+
+    def _finish_surgical(self, plan, pending, planes_list) -> None:
+        out, shapes = pending
+        flat = np.asarray(out)
+        off = 0
+        parts = []
+        for (n, h, w) in shapes:
+            sz = n * h * w * 64
+            parts.append(flat[off:off + sz].reshape(n, h, w, 8, 8))
+            off += sz
+        for i, planes in enumerate(planes_list):
+            plan.scatter(planes, [p[i] for p in parts])
+
     def watermark_stream(self, datas, *, batch: int = 32, pool=None,
                          options: int = 0, restart_interval=None,
-                         lookahead: int = 2):
+                         lookahead: int = 2, surgical=None):
         """Streaming watermark pipeline: JPEG bytes in -> JPEG bytes out.
 
         Three overlapped stages — host entropy decode (thread pool), device
@@ -182,6 +228,13 @@ class BatchComposer:
         host entropy encode (thread pool) — so steady-state throughput is the
         SLOWEST stage, not the sum (a serial loop pays decode + round trip +
         encode per batch).  Yields encoded bytes in input order.
+
+        When the inputs are sequential-Huffman with restart markers and no
+        re-encode options are requested, the pipeline entropy-codes ONLY the
+        restart segments the footprint touches and byte-splices the rest
+        (surgical.py) — output coefficients are identical to the full
+        pipeline's.  ``surgical=False`` forces the full path; ``None`` is
+        auto (per batch: any out-of-envelope file falls the batch back).
 
         ``datas``: iterable of JPEG byte strings with the template's
         geometry.  ``pool``: optional ThreadPoolExecutor shared with the
@@ -210,6 +263,15 @@ class BatchComposer:
                     pass
             return False
 
+        plan = None
+        if surgical is not False and not self.noop and options == 0 and (
+                restart_interval is None
+                or restart_interval == self.template.restart_interval):
+            plan = self._surgical_plan()
+            if not plan.ok:
+                plan = None
+        self.last_stream_path = "surgical" if plan is not None else "full"
+
         def producer():
             try:
                 it = iter(datas)
@@ -222,9 +284,23 @@ class BatchComposer:
                             break
                     if not chunk:
                         break
-                    images = list(pool.map(codec.decode, chunk))
-                    pending = self.compose_images_async(images)
-                    if not put((pending, images)):
+                    extracts = None
+                    if plan is not None:
+                        extracts = list(pool.map(plan.extract, chunk))
+                        if any(e is None for e in extracts):
+                            extracts = None
+                            self.last_stream_path = "full"
+                    if extracts is not None:
+                        planes_list = list(pool.map(plan.decode_windows,
+                                                    extracts))
+                        pending = self._compose_surgical_async(plan,
+                                                               planes_list)
+                        item = ("s", chunk, extracts, planes_list, pending)
+                    else:
+                        images = list(pool.map(codec.decode, chunk))
+                        item = ("f", self.compose_images_async(images),
+                                images)
+                    if not put(item):
                         return
                 put(stop)
             except BaseException as e:  # surface decode errors to the consumer
@@ -239,12 +315,19 @@ class BatchComposer:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                pending, images = item
-                self.finish(pending, images)
-                yield from pool.map(
-                    lambda im: codec.encode(
-                        im, options=options,
-                        restart_interval=restart_interval), images)
+                if item[0] == "s":
+                    _, chunk, extracts, planes_list, pending = item
+                    self._finish_surgical(plan, pending, planes_list)
+                    yield from pool.map(
+                        lambda t3: plan.reencode(*t3),
+                        zip(chunk, extracts, planes_list))
+                else:
+                    _, pending, images = item
+                    self.finish(pending, images)
+                    yield from pool.map(
+                        lambda im: codec.encode(
+                            im, options=options,
+                            restart_interval=restart_interval), images)
         finally:
             closed.set()
             t.join(timeout=2.0)
