@@ -18,9 +18,11 @@
 
 #include <algorithm>
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <ctime>
 #include <memory>
 #include <mutex>
 #include <stdexcept>
@@ -163,7 +165,46 @@ struct BitReader {
 
   BitReader(const uint8_t* data, const uint8_t* data_end) : p(data), end(data_end) {}
 
+  // Complete resumable position: restoring (p, acc, nbits) reproduces the
+  // exact bit stream from this point, including 0xFF00 destuffing state.
+  // This is what makes two-pass parallel decode of restart-free scans
+  // possible: the index pass snapshots state at chunk boundaries and
+  // workers resume from the snapshots bit-for-bit.
+  struct State {
+    const uint8_t* p;
+    uint64_t acc;
+    int nbits;
+  };
+  State state() const { return State{p, acc, nbits}; }
+  BitReader(const State& st, const uint8_t* data_end)
+      : p(st.p), end(data_end), acc(st.acc), nbits(st.nbits) {}
+
   inline void refill() {
+    // Bulk path: when the next 8 bytes are plain data (no 0xFF, so no
+    // destuffing and no marker can terminate the segment), splice them into
+    // the accumulator in one step.  The byte-at-a-time loop below is on the
+    // critical dependency chain of every Huffman symbol; this removes ~7/8
+    // of its iterations for typical streams.
+    if (p + 8 <= end) {
+      uint64_t x;
+      std::memcpy(&x, p, 8);
+      uint64_t ff = x & 0x8080808080808080ull &
+                    ((x & 0x7F7F7F7F7F7F7F7Full) + 0x0101010101010101ull);
+      if (ff == 0) {
+        uint64_t be = __builtin_bswap64(x);
+        if (nbits == 0) {
+          acc = be;
+          nbits = 64;
+          p += 8;
+        } else {
+          int k = (64 - nbits) >> 3;  // bytes the scalar loop would consume
+          acc = (acc << (8 * k)) | (be >> (64 - 8 * k));
+          p += k;
+          nbits += 8 * k;
+        }
+        return;
+      }
+    }
     while (nbits <= 56) {
       int byte;
       if (p >= end) {

@@ -1,9 +1,28 @@
 """Shared test helpers: libjpeg coefficient-dump oracle parsing, float DCT."""
 
+import io
 import struct
 import subprocess
 
 import numpy as np
+
+
+def encode_pil(pixels, mode="RGB", quality=85, subsampling=None,
+               progressive=False):
+    """Encode a uint8 pixel array to JPEG bytes via PIL (independent
+    libjpeg-turbo producer).  subsampling: "444"/"422"/"420" or None."""
+    from PIL import Image, ImageFile
+
+    ImageFile.MAXBLOCK = max(ImageFile.MAXBLOCK, 1 << 26)  # progressive save
+    im = Image.fromarray(pixels)
+    if mode != "RGB":
+        im = im.convert(mode)
+    kw = {"quality": quality, "progressive": progressive}
+    if subsampling is not None:
+        kw["subsampling"] = {"444": 0, "422": 1, "420": 2}[subsampling]
+    buf = io.BytesIO()
+    im.save(buf, "JPEG", **kw)
+    return buf.getvalue()
 
 
 def load_dump(path):
