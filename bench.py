@@ -114,12 +114,17 @@ def main():
     # ~213 at 24, ~238 at 32 (stage split shows compose = the round trip)
     BATCH = int(os.environ.get("MJT_BENCH_BATCH", "32"))
     ITERS = int(os.environ.get("MJT_BENCH_ITERS", "5"))
-    RESTART = 32  # MCUs per restart segment -> parallel codec
+    RESTART = 32  # MCUs per restart segment -> surgical splice path
 
-    # build the corpus on the CPU backend: corpus synthesis is setup, not the
+    # Two corpora, two headlines.  Real-world JPEGs overwhelmingly carry NO
+    # restart markers, so the PRIMARY metric ("value") runs the full
+    # pipeline on a restart-free corpus; the surgical splice number (which
+    # needs restart-segmented inputs) is reported alongside as the labeled
+    # fast path, not as the headline.
+    # Corpus synthesis happens on the CPU backend: it is setup, not the
     # measured pipeline, and keeping it off the accelerator avoids paying
-    # (and possibly wedging) tunnel transfers for throwaway data
-    jpegs = []
+    # (and possibly wedging) tunnel transfers for throwaway data.
+    jpegs_free, jpegs_rst = [], []
     try:
         setup_dev = jax.local_devices(backend="cpu")[0]
     except Exception:
@@ -128,42 +133,54 @@ def main():
         for i in range(BATCH):
             pix = make_test_image(rng, W, H)
             img = from_pixels(pix, quality=85, subsampling="420")
-            jpegs.append(codec.encode(img, restart_interval=RESTART))
+            jpegs_free.append(codec.encode(img))
+            jpegs_rst.append(codec.encode(img, restart_interval=RESTART))
     logo = make_logo(rng, 256, 64)
     dropon = mj.read_dropon_from_raw(logo, mj.COLORSPACE_RGBA, 256, 64)
-
-    template = codec.decode(jpegs[0])
-    composer = BatchComposer(template, dropon,
-                             mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -32, -32)
 
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
 
-    def run_iters(n):
+    def measure_stream(composer, jpegs, restart_interval, n):
         # 3-stage streaming pipeline (watermark_stream): host decode, device
         # round trip (lookahead batches in flight), host encode all overlap,
         # so steady-state cost per batch is the slowest stage, not the sum
         total = 0
         for out in composer.watermark_stream(
                 iter(jpegs * n), batch=BATCH, pool=pool,
-                restart_interval=RESTART):
+                restart_interval=restart_interval):
             total += len(out)
         return total
 
-    run_iters(1)  # warmup: compile + codec caches
-
+    # full pipeline on the restart-free corpus -> PRIMARY headline
+    composer = BatchComposer(codec.decode(jpegs_free[0]), dropon,
+                             mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -32, -32)
+    measure_stream(composer, jpegs_free, None, 1)  # warmup: compile + caches
     t0 = time.perf_counter()
-    run_iters(ITERS)
+    measure_stream(composer, jpegs_free, None, ITERS)
     dt = time.perf_counter() - t0
+    assert composer.last_stream_path == "full", composer.last_stream_path
 
-    # stage breakdown (unpipelined, so stage walls are attributable; the
-    # headline number above overlaps decode/encode with the device round
-    # trip, which is why it can exceed the serial sum of the stages)
+    # surgical splice on the restart-segmented corpus -> labeled fast path
+    composer_s = BatchComposer(codec.decode(jpegs_rst[0]), dropon,
+                               mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -32, -32)
+    measure_stream(composer_s, jpegs_rst, RESTART, 1)
+    t0 = time.perf_counter()
+    measure_stream(composer_s, jpegs_rst, RESTART, ITERS)
+    dt_s = time.perf_counter() - t0
+    assert composer_s.last_stream_path == "surgical", \
+        composer_s.last_stream_path
+    jpegs = jpegs_rst  # stage breakdowns below
+
+    # stage breakdown of the FULL pipeline (unpipelined, so stage walls are
+    # attributable; the headline overlaps decode/encode with the device
+    # round trip, which is why it can exceed the serial sum of the stages)
     mp_batch = W * H / 1e6 * BATCH
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        images = list(pool.map(codec.decode, jpegs))
+        images = list(pool.map(lambda d: codec.decode(d, nthreads=1),
+                               jpegs_free))
     t_dec = (time.perf_counter() - t0) / ITERS
     t0 = time.perf_counter()
     for _ in range(ITERS):
@@ -171,33 +188,59 @@ def main():
     t_comp = (time.perf_counter() - t0) / ITERS
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        list(pool.map(
-            lambda im: len(codec.encode(im, restart_interval=RESTART)),
-            images))
+        list(pool.map(lambda im: len(codec.encode(im)), images))
     t_enc = (time.perf_counter() - t0) / ITERS
+
+    # single-file decode latency: serial vs two-pass parallel (the
+    # restart-free intra-file parallelism; a latency metric, distinct from
+    # the file-parallel corpus throughput above).  Probe on a 4K frame —
+    # the BASELINE config-2 shape — where single-file decode latency is a
+    # real cost; the per-file overhead means small/smooth files stay serial.
+    with jax.default_device(setup_dev):
+        pix4k = make_test_image(rng, 3840, 2160)
+        pix4k = np.clip(pix4k.astype(np.int32)
+                        + rng.randint(-20, 20, pix4k.shape), 0,
+                        255).astype(np.uint8)
+        one = codec.encode(from_pixels(pix4k, quality=90,
+                                       subsampling="420"))
+    mp1 = 3840 * 2160 / 1e6
+
+    def best_of(f, n=3):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    codec.decode(one)  # warm
+    t_d1 = best_of(lambda: codec.decode(one, nthreads=1))
+    t_dn = best_of(lambda: codec.decode(one))
 
     from libmodjpeg_tpu.ops.compose import use_pallas_blend
 
     # surgical stage breakdown (unpipelined): byte scan + window decode /
     # device round trip / window re-encode + splice
     surgical_stages = None
-    if getattr(composer, "last_stream_path", "full") == "surgical":
-        plan = composer._surgical_plan()
+    plan = composer_s._surgical_plan()
+    if plan.ok:
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            extracts = list(pool.map(plan.extract, jpegs))
+            extracts = [p for p, _ in pool.map(plan.extract, jpegs_rst)]
             planes_list = list(pool.map(plan.decode_windows, extracts))
         t_sdec = (time.perf_counter() - t0) / ITERS
+        quants_list = [ex[4] for ex in extracts]
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            composer._finish_surgical(
-                plan, composer._compose_surgical_async(plan, planes_list),
+            composer_s._finish_surgical(
+                plan, composer_s._compose_surgical_async(plan, planes_list,
+                                                         quants_list),
                 planes_list)
         t_sdev = (time.perf_counter() - t0) / ITERS
         t0 = time.perf_counter()
         for _ in range(ITERS):
             list(pool.map(lambda t3: len(plan.reencode(*t3)),
-                          zip(jpegs, extracts, planes_list)))
+                          zip(jpegs_rst, extracts, planes_list)))
         t_senc = (time.perf_counter() - t0) / ITERS
         surgical_stages = {
             "scan_decode_mp_s": round(mp_batch / t_sdec, 1),
@@ -207,12 +250,15 @@ def main():
         }
 
     mp = mp_batch * ITERS
-    mps = mp / dt
+    mps = mp / dt          # full pipeline, restart-free corpus (headline)
+    mps_s = mp / dt_s      # surgical splice, restart-segmented corpus
     print(json.dumps({
         "metric": "composited_megapixels_per_s_per_chip",
         "value": round(mps, 2),
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / 50.0, 3),
+        "corpus": "restart-free 1080p (full pipeline; the typical real-world input)",
+        "surgical_mp_s": round(mps_s, 2),
         "stages": {
             "decode_s_per_batch": round(t_dec, 4),
             "compose_s_per_batch": round(t_comp, 4),
@@ -221,8 +267,11 @@ def main():
             "compose_mp_s": round(mp_batch / t_comp, 1),
             "encode_mp_s": round(mp_batch / t_enc, 1),
         },
+        "single_file_decode": {
+            "serial_mp_s": round(mp1 / t_d1, 1),
+            "twopass_mp_s": round(mp1 / t_dn, 1),
+        },
         "blend_kernel": "pallas" if use_pallas_blend() else "einsum",
-        "stream_path": getattr(composer, "last_stream_path", "full"),
         **({"surgical_stages": surgical_stages} if surgical_stages else {}),
         "batch": BATCH,
     }))

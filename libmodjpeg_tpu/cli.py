@@ -149,22 +149,23 @@ def main(argv=None) -> int:
                 img = compose(img, d, position, offset_x, offset_y,
                               bitexact=bitexact)
             elif arg == "-p":
-                if len(val) != 2:
-                    print("Invalid position, use --help for more details",
-                          file=sys.stderr)
-                    continue
+                # reference parity: modjpeg.c:100-127 indexes optarg[0] and
+                # optarg[1] without a length gate — a 1-char arg applies only
+                # the vertical flag, extra chars are ignored
                 position = 0
-                if val[0] == "t":
+                v0 = val[0] if len(val) > 0 else ""
+                v1 = val[1] if len(val) > 1 else ""
+                if v0 == "t":
                     position |= C.ALIGN_TOP
-                elif val[0] == "b":
+                elif v0 == "b":
                     position |= C.ALIGN_BOTTOM
-                elif val[0] == "c":
+                elif v0 == "c":
                     position |= C.ALIGN_CENTER
-                if val[1] == "l":
+                if v1 == "l":
                     position |= C.ALIGN_LEFT
-                elif val[1] == "r":
+                elif v1 == "r":
                     position |= C.ALIGN_RIGHT
-                elif val[1] == "c":
+                elif v1 == "c":
                     position |= C.ALIGN_CENTER
             elif arg == "-m":
                 parts = val.split(",")

@@ -155,6 +155,21 @@ def run_corpus(cfg: CorpusConfig) -> dict:
         jax.profiler.start_trace(cfg.trace_dir)
         trace_ctx = True
 
+    # Pure watermarking routes through the 3-stage streaming pipeline
+    # (BatchComposer.watermark_stream): decode / device round trip / encode
+    # overlap, and restart-segmented files take the surgical splice path.
+    # Effects need whole-coefficient access, so they keep the legacy loop.
+    if dropon is not None and not cfg.effects:
+        try:
+            return _run_corpus_stream(cfg, todo, skipped, dropon, journal,
+                                      metrics)
+        finally:
+            if trace_ctx:
+                import jax
+
+                jax.profiler.stop_trace()
+            journal.close()
+
     composers = {}  # geometry key -> BatchComposer
 
     def out_path(inp):
@@ -252,6 +267,149 @@ def run_corpus(cfg: CorpusConfig) -> dict:
     s["skipped_resume"] = skipped
     s["host_id"] = cfg.host_id
     s["num_hosts"] = cfg.num_hosts
+    return s
+
+
+def _run_corpus_stream(cfg: CorpusConfig, todo, skipped, dropon, journal,
+                       metrics) -> dict:
+    """Watermark-only corpus path on the streaming pipeline.
+
+    Files are probed (header-only for sequential JPEGs — no entropy decode,
+    so surgical-eligible files are never fully decoded at all), bucketed by
+    geometry, and each bucket streams through its BatchComposer's
+    watermark_stream.  A failing bucket batch degrades to per-file
+    processing so one bad file cannot take down its batch.
+    """
+    from . import codec
+    from .parallel.batch import BatchComposer
+    from .surgical import parse_structure
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    pool = ThreadPoolExecutor(max_workers=cfg.io_workers)
+    failures = 0
+    stream_paths = {}       # "surgical"/"mixed"/"full" -> files
+    fallback_reasons = {}   # surgical fallback reason -> count
+    composers = {}
+
+    def out_path(inp):
+        return os.path.join(cfg.output_dir, os.path.basename(inp))
+
+    def load(path):
+        """Read bytes + geometry probe (header-only when possible)."""
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            st = parse_structure(data)
+            if st is not None:
+                if cfg.max_pixel and st.width * st.height > cfg.max_pixel:
+                    return path, None, None, "image exceeds max_pixel limit"
+                return path, data, st.geometry_key(), None
+            img = codec.decode(data, max_pixel=cfg.max_pixel, nthreads=1)
+            return path, data, _geometry_key(img), None
+        except (ModJpegError, OSError, ValueError) as e:
+            return path, None, None, str(e)
+
+    def write_out(args):
+        path, blob = args
+        try:
+            with open(out_path(path), "wb") as f:
+                f.write(blob)
+            return path, None
+        except OSError as e:
+            return path, str(e)
+
+    try:
+        for i in range(0, len(todo), cfg.batch_size):
+            chunk = todo[i:i + cfg.batch_size]
+            t0 = time.perf_counter()
+            loaded = list(pool.map(load, chunk))
+            metrics.add("probe", time.perf_counter() - t0)
+
+            buckets = {}
+            for path, data, key, err in loaded:
+                if err is not None:
+                    journal.record({"input": path, "status": "error",
+                                    "stage": "probe", "error": err})
+                    metrics.files_failed += 1
+                    failures += 1
+                else:
+                    buckets.setdefault(key, []).append((path, data))
+
+            for key, members in buckets.items():
+                mp_file = key[0] * key[1] / 1e6
+                bc = composers.get(key)
+                if bc is None:
+                    bc = BatchComposer(codec.decode(members[0][1]), dropon,
+                                       cfg.align, cfg.offset_x, cfg.offset_y)
+                    composers[key] = bc
+                t0 = time.perf_counter()
+                try:
+                    outs = list(bc.watermark_stream(
+                        (d for _, d in members), batch=cfg.batch_size,
+                        pool=pool, options=cfg.encode_options,
+                        restart_interval=cfg.restart_interval,
+                        max_pixel=cfg.max_pixel))
+                except (ModJpegError, ValueError, OSError):
+                    # a bad file poisoned the batch: isolate per file
+                    metrics.add("stream", time.perf_counter() - t0)
+                    for path, data in members:
+                        t1 = time.perf_counter()
+                        try:
+                            outs1 = list(bc.watermark_stream(
+                                iter([data]), batch=1, pool=pool,
+                                options=cfg.encode_options,
+                                restart_interval=cfg.restart_interval,
+                                max_pixel=cfg.max_pixel))
+                            with open(out_path(path), "wb") as f:
+                                f.write(outs1[0])
+                            journal.record({"input": path, "status": "done",
+                                            "output": out_path(path),
+                                            "mp": round(mp_file, 3)})
+                            metrics.files_done += 1
+                            metrics.megapixels += mp_file
+                        except (ModJpegError, ValueError, OSError) as e:
+                            journal.record({"input": path, "status": "error",
+                                            "stage": "stream",
+                                            "error": str(e)})
+                            metrics.files_failed += 1
+                            failures += 1
+                        metrics.add("stream", time.perf_counter() - t1)
+                    continue
+                metrics.add("stream", time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                written = list(pool.map(write_out,
+                                        zip((p for p, _ in members), outs)))
+                metrics.add("write", time.perf_counter() - t0)
+                for path, err in written:
+                    if err is not None:
+                        journal.record({"input": path, "status": "error",
+                                        "stage": "write", "error": err})
+                        metrics.files_failed += 1
+                        failures += 1
+                    else:
+                        journal.record({"input": path, "status": "done",
+                                        "output": out_path(path),
+                                        "mp": round(mp_file, 3)})
+                        metrics.files_done += 1
+                        metrics.megapixels += mp_file
+                sp = getattr(bc, "last_stream_path", "full")
+                stream_paths[sp] = stream_paths.get(sp, 0) + len(members)
+                for r, n in getattr(bc, "last_fallback_reasons",
+                                    {}).items():
+                    fallback_reasons[r] = fallback_reasons.get(r, 0) + n
+            if cfg.max_failures >= 0 and failures > cfg.max_failures:
+                raise RuntimeError(
+                    f"aborting: {failures} failures exceeds limit")
+    finally:
+        pool.shutdown(wait=True)
+
+    s = metrics.summary()
+    s["skipped_resume"] = skipped
+    s["host_id"] = cfg.host_id
+    s["num_hosts"] = cfg.num_hosts
+    s["pipeline"] = "stream"
+    s["stream_paths"] = stream_paths
+    s["surgical_fallbacks"] = fallback_reasons
     return s
 
 

@@ -56,8 +56,9 @@ def _compose_regions_packed(flat, dropons, alphas, quants, shapes):
     math, is the hot path's cost on small overlays).
 
     flat: [sum(n*h*w*64)] int16; dropons/alphas: tuples of [h_c, w_c, 8, 8]
-    float32 (device-resident); quants: tuple of [8, 8]; shapes: static
-    tuple of (n, h_c, w_c).
+    float32 (device-resident); quants: tuple of PER-FILE [n, 8, 8] int32
+    stacks (each file dequantizes/requantizes with its own tables, so mixed
+    corpora compose correctly); shapes: static tuple of (n, h_c, w_c).
     """
     outs, off = [], 0
     for (n, h, w), dropon, alpha, quant in zip(shapes, dropons, alphas,
@@ -66,13 +67,15 @@ def _compose_regions_packed(flat, dropons, alphas, quants, shapes):
         region = jax.lax.slice(flat, (off,), (off + sz,)) \
             .reshape(n, h, w, 8, 8).astype(jnp.int32)
         off += sz
-        x1 = region.astype(jnp.float32) * quant.astype(jnp.float32)
+        qi = quant.astype(jnp.int32)[:, None, None]     # [n, 1, 1, 8, 8]
+        qf = qi.astype(jnp.float32)
+        x1 = region.astype(jnp.float32) * qf
         d = jnp.broadcast_to(dropon, (n, h, w, 8, 8))
         a = jnp.broadcast_to(alpha, (n, h, w, 8, 8))
         y = blend_blocks_auto(x1.reshape(-1, 8, 8), d.reshape(-1, 8, 8),
                               a.reshape(-1, 8, 8)).reshape(n, h, w, 8, 8)
         corr = jnp.trunc(y - x1).astype(jnp.int32)
-        out = requant_trunc(region * quant.astype(jnp.int32) + corr, quant)
+        out = requant_trunc(region * qi + corr, qi)
         outs.append(jnp.clip(out, -32768, 32767).astype(jnp.int16)
                     .reshape(-1))
     return jnp.concatenate(outs)
@@ -132,45 +135,74 @@ class BatchComposer:
         """
         self.finish(self.compose_images_async(images), images)
 
-    def compose_images_async(self, images: Sequence[CoefImage]):
-        """Dispatch the region compose without blocking; returns a pending
-        handle.  jax dispatch is async, so the device works while the host
-        keeps decoding/encoding — pair with finish() to overlap stages."""
-        if self.noop:
-            return None
-        ncomps = len(self.cd.image_blocks)
-        parts, origins, shapes = [], [], []
-        n = len(images)
-        for c in range(ncomps):
+    def _region_origins(self) -> list:
+        """Per component (r0, c0, h, w) block rectangles of the footprint."""
+        origins = []
+        for c in range(len(self.cd.image_blocks)):
             ci = self.template.components[c]
-            r0 = self.block_y * ci.v_samp
-            c0 = self.block_x * ci.h_samp
             h, w = self.cd.image_blocks[c].shape[:2]
-            origins.append((r0, c0, h, w))
+            origins.append((self.block_y * ci.v_samp,
+                            self.block_x * ci.h_samp, h, w))
+        return origins
+
+    def _pack_regions(self, regions, quants):
+        """Dispatch the packed compose for per-file footprint regions.
+
+        regions[i][c]: [h_c, w_c, 8, 8] int16 for file i, component c;
+        quants[i][c]: that file's [8, 8] quant table.  Returns
+        (device_out, shapes) — one transfer each way for the whole batch.
+        """
+        ncomps = len(self.cd.image_blocks)
+        n = len(regions)
+        parts, qstacks, shapes = [], [], []
+        for c in range(ncomps):
+            h, w = self.cd.image_blocks[c].shape[:2]
             shapes.append((n, h, w))
-            parts.append(np.stack(
-                [im.coefs[c][r0:r0 + h, c0:c0 + w] for im in images])
-                .reshape(-1))
+            parts.append(np.stack([regions[i][c] for i in range(n)])
+                         .reshape(-1))
+            qstacks.append(np.stack(
+                [np.asarray(quants[i][c], np.int32) for i in range(n)]))
         flat = np.concatenate(parts)
         out = _compose_regions_packed(
             flat, tuple(self._dev_dropon), tuple(self._dev_alpha),
-            tuple(self._dev_quant), tuple(shapes))
-        return (out, origins)
+            tuple(qstacks), tuple(shapes))
+        return (out, shapes)
+
+    def _unpack_regions(self, pending) -> list:
+        """Fetch a _pack_regions result: parts[c][i] = [h, w, 8, 8]."""
+        out, shapes = pending
+        flat = np.asarray(out)
+        off, parts = 0, []
+        for (n, h, w) in shapes:
+            sz = n * h * w * 64
+            parts.append(flat[off:off + sz].reshape(n, h, w, 8, 8))
+            off += sz
+        return parts
+
+    def compose_images_async(self, images: Sequence[CoefImage]):
+        """Dispatch the region compose without blocking; returns a pending
+        handle.  jax dispatch is async, so the device works while the host
+        keeps decoding/encoding — pair with finish() to overlap stages.
+        Each image composes with its OWN quant tables."""
+        if self.noop:
+            return None
+        origins = self._region_origins()
+        regions = [[im.coefs[c][r0:r0 + h, c0:c0 + w]
+                    for c, (r0, c0, h, w) in enumerate(origins)]
+                   for im in images]
+        quants = [[im.quant_table_for(c) for c in range(len(origins))]
+                  for im in images]
+        return self._pack_regions(regions, quants)
 
     def finish(self, pending, images: Sequence[CoefImage]) -> None:
         """Fetch a compose_images_async result and scatter it back."""
         if pending is None:
             return
-        out, origins = pending
-        flat = np.asarray(out)
-        off = 0
+        parts = self._unpack_regions(pending)
+        origins = self._region_origins()
         for c, (r0, c0, h, w) in enumerate(origins):
-            n = len(images)
-            sz = n * h * w * 64
-            host = flat[off:off + sz].reshape(n, h, w, 8, 8)
-            off += sz
             for i, im in enumerate(images):
-                im.coefs[c][r0:r0 + h, c0:c0 + w] = host[i]
+                im.coefs[c][r0:r0 + h, c0:c0 + w] = parts[c][i]
 
     def _surgical_plan(self):
         """Lazily built surgical splice plan (see surgical.py); plan.ok is
@@ -188,39 +220,23 @@ class BatchComposer:
                                        self.template.restart_interval)
         return self._splan
 
-    def _compose_surgical_async(self, plan, planes_list):
+    def _compose_surgical_async(self, plan, planes_list, quants_list):
         """Pack the gathered footprint regions of a batch of window planes
-        and dispatch the same packed compose the full path uses."""
-        n = len(planes_list)
-        parts, shapes = [], []
-        ncomps = len(self.cd.image_blocks)
+        and dispatch the same packed compose the full path uses.
+        quants_list[i]: per-component quant tables of file i (from its
+        surgical payload)."""
         regions = [plan.gather(p) for p in planes_list]
-        for c in range(ncomps):
-            h, w = self.cd.image_blocks[c].shape[:2]
-            shapes.append((n, h, w))
-            parts.append(np.stack([regions[i][c] for i in range(n)])
-                         .reshape(-1))
-        flat = np.concatenate(parts)
-        out = _compose_regions_packed(
-            flat, tuple(self._dev_dropon), tuple(self._dev_alpha),
-            tuple(self._dev_quant), tuple(shapes))
-        return (out, shapes)
+        return self._pack_regions(regions, quants_list)
 
     def _finish_surgical(self, plan, pending, planes_list) -> None:
-        out, shapes = pending
-        flat = np.asarray(out)
-        off = 0
-        parts = []
-        for (n, h, w) in shapes:
-            sz = n * h * w * 64
-            parts.append(flat[off:off + sz].reshape(n, h, w, 8, 8))
-            off += sz
+        parts = self._unpack_regions(pending)
         for i, planes in enumerate(planes_list):
             plan.scatter(planes, [p[i] for p in parts])
 
     def watermark_stream(self, datas, *, batch: int = 32, pool=None,
                          options: int = 0, restart_interval=None,
-                         lookahead: int = 2, surgical=None):
+                         lookahead: int = 2, surgical=None,
+                         max_pixel: int = 0):
         """Streaming watermark pipeline: JPEG bytes in -> JPEG bytes out.
 
         Three overlapped stages — host entropy decode (thread pool), device
@@ -229,12 +245,16 @@ class BatchComposer:
         SLOWEST stage, not the sum (a serial loop pays decode + round trip +
         encode per batch).  Yields encoded bytes in input order.
 
-        When the inputs are sequential-Huffman with restart markers and no
+        When an input is sequential-Huffman with restart markers and no
         re-encode options are requested, the pipeline entropy-codes ONLY the
         restart segments the footprint touches and byte-splices the rest
         (surgical.py) — output coefficients are identical to the full
-        pipeline's.  ``surgical=False`` forces the full path; ``None`` is
-        auto (per batch: any out-of-envelope file falls the batch back).
+        pipeline's.  The choice is PER FILE: out-of-envelope files in a
+        batch take the full path while the rest stay surgical (both share
+        one device dispatch), and every fallback is counted by reason in
+        ``last_fallback_reasons``.  ``last_stream_path`` reports "surgical"
+        (all files surgical), "mixed", or "full".  ``surgical=False`` forces
+        the full path for every file.
 
         ``datas``: iterable of JPEG byte strings with the template's
         geometry.  ``pool``: optional ThreadPoolExecutor shared with the
@@ -271,6 +291,48 @@ class BatchComposer:
             if not plan.ok:
                 plan = None
         self.last_stream_path = "surgical" if plan is not None else "full"
+        self.last_fallback_reasons = {}
+        origins = None if self.noop else self._region_origins()
+
+        def prep_batch(chunk):
+            """Decode a batch: surgical windows where eligible, full decode
+            otherwise; one packed device dispatch covers both."""
+            n = len(chunk)
+            payloads = [None] * n
+            if plan is not None:
+                for i, (payload, reason) in enumerate(
+                        pool.map(plan.extract, chunk)):
+                    if payload is None:
+                        self.last_fallback_reasons[reason] = \
+                            self.last_fallback_reasons.get(reason, 0) + 1
+                        self.last_stream_path = "mixed"
+                    else:
+                        payloads[i] = payload
+
+            def prep_one(i):
+                if payloads[i] is not None:
+                    return plan.decode_windows(payloads[i])
+                # in a batch the pool already decodes files concurrently;
+                # intra-file thread parallelism on top would oversubscribe
+                return codec.decode(chunk[i], max_pixel=max_pixel,
+                                    nthreads=1 if n > 1 else 0)
+
+            prepped = list(pool.map(prep_one, range(n)))
+            if self.noop:
+                return payloads, prepped, None
+            regions, quants = [], []
+            for i in range(n):
+                if payloads[i] is not None:
+                    regions.append(plan.gather(prepped[i]))
+                    quants.append(payloads[i][4])
+                else:
+                    im = prepped[i]
+                    regions.append([im.coefs[c][r0:r0 + h, c0:c0 + w]
+                                    for c, (r0, c0, h, w)
+                                    in enumerate(origins)])
+                    quants.append([im.quant_table_for(c)
+                                   for c in range(len(origins))])
+            return payloads, prepped, self._pack_regions(regions, quants)
 
         def producer():
             try:
@@ -284,23 +346,8 @@ class BatchComposer:
                             break
                     if not chunk:
                         break
-                    extracts = None
-                    if plan is not None:
-                        extracts = list(pool.map(plan.extract, chunk))
-                        if any(e is None for e in extracts):
-                            extracts = None
-                            self.last_stream_path = "full"
-                    if extracts is not None:
-                        planes_list = list(pool.map(plan.decode_windows,
-                                                    extracts))
-                        pending = self._compose_surgical_async(plan,
-                                                               planes_list)
-                        item = ("s", chunk, extracts, planes_list, pending)
-                    else:
-                        images = list(pool.map(codec.decode, chunk))
-                        item = ("f", self.compose_images_async(images),
-                                images)
-                    if not put(item):
+                    payloads, prepped, pending = prep_batch(chunk)
+                    if not put((chunk, payloads, prepped, pending)):
                         return
                 put(stop)
             except BaseException as e:  # surface decode errors to the consumer
@@ -315,19 +362,27 @@ class BatchComposer:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                if item[0] == "s":
-                    _, chunk, extracts, planes_list, pending = item
-                    self._finish_surgical(plan, pending, planes_list)
-                    yield from pool.map(
-                        lambda t3: plan.reencode(*t3),
-                        zip(chunk, extracts, planes_list))
-                else:
-                    _, pending, images = item
-                    self.finish(pending, images)
-                    yield from pool.map(
-                        lambda im: codec.encode(
-                            im, options=options,
-                            restart_interval=restart_interval), images)
+                chunk, payloads, prepped, pending = item
+                if pending is not None:
+                    parts = self._unpack_regions(pending)
+                    for i in range(len(chunk)):
+                        regions_i = [p[i] for p in parts]
+                        if payloads[i] is not None:
+                            plan.scatter(prepped[i], regions_i)
+                        else:
+                            im = prepped[i]
+                            for c, (r0, c0, h, w) in enumerate(origins):
+                                im.coefs[c][r0:r0 + h, c0:c0 + w] = \
+                                    regions_i[c]
+
+                def enc_one(i):
+                    if payloads[i] is not None:
+                        return plan.reencode(chunk[i], payloads[i],
+                                             prepped[i])
+                    return codec.encode(prepped[i], options=options,
+                                        restart_interval=restart_interval)
+
+                yield from pool.map(enc_one, range(len(chunk)))
         finally:
             closed.set()
             t.join(timeout=2.0)

@@ -295,35 +295,45 @@ class SurgicalPlan:
     def extract(self, data: bytes):
         """Parse + scan one file; build the crafted mini-JPEG(s).
 
-        Returns (crafted_jpegs, seg_byte_ranges, structure) or None when the
-        file is outside the surgical envelope (caller falls back)."""
+        Returns ``(payload, reason)``: payload is (crafted_jpegs,
+        seg_byte_ranges, structure, preset_tables, file_quants) when the file
+        is inside the surgical envelope, else None with a short reason string
+        (the caller falls back to the full pipeline for that file and can
+        count reasons for observability).
+
+        The file's OWN quant tables ride along in the payload: the device
+        compose dequantizes each file with its own tables, so quant content
+        differing from the template's is not an envelope exit.  A scan whose
+        component order differs from the frame header is rejected as
+        "scan-order" — T.81 B.2.3 requires scan components to follow frame
+        order, so this only excludes non-conformant streams (the crafted
+        re-encode emits frame-order MCUs, which must match the original SOS
+        for the splice to be valid)."""
         st = parse_structure(data)
-        if st is None or st.dri != self.R:
-            return None
+        if st is None:
+            return None, "structure"
+        if st.dri != self.R:
+            return None, "restart-interval"
         if (st.width != self.template.width
                 or st.height != self.template.height
                 or len(st.comps) != self.ncomps):
-            return None
+            return None, "geometry"
+        fquants = []
         for c, (cid, h, v, tq) in enumerate(st.comps):
             ci = self.template.components[c]
             if h != ci.h_samp or v != ci.v_samp:
-                return None
-            # the device compose dequantizes with the TEMPLATE's tables —
-            # a file with different quant content must take the full path
-            # (where it still composes with the template tables, but corpus
-            # bucketing keys on quant so this only guards direct stream use)
+                return None, "sampling"
             stbl = st.qtables.get(tq)
-            ttbl = self.template.quant_tables.get(ci.quant_tbl_no)
-            if stbl is None or ttbl is None or not np.array_equal(
-                    stbl, np.asarray(ttbl, np.uint16)):
-                return None
+            if stbl is None:
+                return None, "missing-qtable"
+            fquants.append(np.asarray(stbl, np.int32))
         # table selectors must be mappable onto the encoder's fixed
         # comp0 -> slot0, comps 1.. -> slot1 convention
         if self.ncomps > 1:
             if any(st.scan_td[i] != st.scan_td[1]
                    or st.scan_ta[i] != st.scan_ta[1]
                    for i in range(2, self.ncomps)):
-                return None
+                return None, "table-slots"
         preset = []
         try:
             for slot, comp in ((0, 0), (1, 1))[:min(self.ncomps, 2)]:
@@ -332,14 +342,14 @@ class SurgicalPlan:
                 preset.append((0, slot, cdc, sdc))
                 preset.append((1, slot, cac, sac))
         except KeyError:
-            return None
+            return None, "missing-htable"
 
         scan = scan_entropy(data, st.entropy_start)
         if scan is None:
-            return None
+            return None, "entropy-scan"
         rsts, end = scan
         if len(rsts) + 1 != self.nsegs_file:
-            return None
+            return None, "segment-count"
         starts = [st.entropy_start] + [p + 2 for p in rsts]
         ends = rsts + [end]
 
@@ -361,7 +371,7 @@ class SurgicalPlan:
                 parts.append(data[s:e])
             parts.append(b"\xff\xd9")
             crafted.append(b"".join(parts))
-        return crafted, seg_ranges, st, preset
+        return (crafted, seg_ranges, st, preset, fquants), None
 
     def decode_windows(self, extract) -> list:
         """Decode the crafted mini-JPEGs into concatenated window planes
@@ -394,7 +404,7 @@ class SurgicalPlan:
         the new segment bytes back between the original restart markers."""
         from . import codec
 
-        _, seg_ranges, st, preset = extract
+        _, seg_ranges, st, preset, _fq = extract
         tpl = self.template
         new_segs: list = []
         col = 0

@@ -27,12 +27,31 @@ jax.config.update("jax_platforms", "cpu")
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_IMAGES = "/root/reference/src/contrib/images"
+REFERENCE = "/root/reference"
 REFBUILD = os.path.join(REPO, ".refbuild")
+# The repo's own committed fixture set (tests/fixtures/make_fixtures.py) —
+# the core suite is self-contained; only oracle tests (marked ref_oracle)
+# need the reference checkout, and those skip when it is absent.
+FIXTURE_IMAGES = os.path.join(REPO, "tests", "fixtures")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "ref_oracle: needs the reference checkout (/root/reference) for "
+        "differential oracles; auto-applied to tests using ref_tools")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "ref_tools" in getattr(item, "fixturenames", ()):
+            item.add_marker(pytest.mark.ref_oracle)
 
 
 def _ensure_refbuild():
     """Build the reference modjpeg CLI + coefficient dump oracle (test-only)."""
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not present (oracle tests only)")
     modjpeg = os.path.join(REFBUILD, "modjpeg-dynamic")
     dump = os.path.join(REFBUILD, "dump_coefs")
     if not os.path.exists(modjpeg):
@@ -79,23 +98,23 @@ def ref_tools():
 
 @pytest.fixture(scope="session")
 def fixture_jpeg():
-    with open(os.path.join(REF_IMAGES, "image.jpg"), "rb") as f:
+    with open(os.path.join(FIXTURE_IMAGES, "image.jpg"), "rb") as f:
         return f.read()
 
 
 @pytest.fixture(scope="session")
 def fixture_dropon_png():
-    with open(os.path.join(REF_IMAGES, "dropon.png"), "rb") as f:
+    with open(os.path.join(FIXTURE_IMAGES, "dropon.png"), "rb") as f:
         return f.read()
 
 
 @pytest.fixture(scope="session")
 def fixture_dropon_jpg():
-    with open(os.path.join(REF_IMAGES, "dropon.jpg"), "rb") as f:
+    with open(os.path.join(FIXTURE_IMAGES, "dropon.jpg"), "rb") as f:
         return f.read()
 
 
 @pytest.fixture(scope="session")
 def fixture_mask_jpg():
-    with open(os.path.join(REF_IMAGES, "mask.jpg"), "rb") as f:
+    with open(os.path.join(FIXTURE_IMAGES, "mask.jpg"), "rb") as f:
         return f.read()

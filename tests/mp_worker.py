@@ -23,6 +23,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 def main():
@@ -54,7 +55,7 @@ def make_batch(n_images):
     process — the corpus itself is replicated input, only compute shards)."""
     import libmodjpeg_tpu as mj
 
-    base = mj.read_jpeg("/root/reference/src/contrib/images/image.jpg")
+    base = mj.read_jpeg(f"{IMAGES}/image.jpg")
     rng = np.random.RandomState(42)
     images = []
     for _ in range(n_images):
@@ -78,7 +79,7 @@ def run_compose(pid, n_images, outdir):
     repl = NamedSharding(mesh, P())
 
     images = make_batch(n_images)
-    logo = mj.read_dropon("/root/reference/src/contrib/images/dropon.png")
+    logo = mj.read_dropon(f"{IMAGES}/dropon.png")
     bc = BatchComposer(images[0], logo, mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT,
                        -5, -3)
 
@@ -107,7 +108,7 @@ def run_corpus_mode(pid, nprocs, indir, outdir):
 
     cfg = CorpusConfig(
         inputs=[indir], output_dir=outdir,
-        dropon_path="/root/reference/src/contrib/images/dropon.png",
+        dropon_path=f"{IMAGES}/dropon.png",
         align=3 | 12,  # bottom-right: ALIGN_BOTTOM|ALIGN_RIGHT resolved below
         num_hosts=nprocs, host_id=pid, batch_size=4)
     from libmodjpeg_tpu import constants as C

@@ -11,7 +11,7 @@ import libmodjpeg_tpu as mj
 from libmodjpeg_tpu.codec import decode
 from libmodjpeg_tpu.pixels import to_pixels
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 def test_betterjpeg_script(tmp_path):

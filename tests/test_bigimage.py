@@ -16,7 +16,7 @@ from libmodjpeg_tpu import constants as C
 from libmodjpeg_tpu.model import CoefImage, ComponentInfo, Sampling
 from libmodjpeg_tpu.parallel import GridSession, make_mesh
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 def synth_big(mp_target: float) -> CoefImage:

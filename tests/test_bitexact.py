@@ -18,7 +18,7 @@ from libmodjpeg_tpu import constants as C
 from libmodjpeg_tpu.bitexact import compile_dropon_bitexact, compose_bitexact
 from libmodjpeg_tpu.dropon import read_dropon
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 def _load_compiled_dump(path):

@@ -10,7 +10,7 @@ import libmodjpeg_tpu as mj
 from libmodjpeg_tpu.cli import main as cli_main
 from libmodjpeg_tpu.codec import decode
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 def run_ours(args):

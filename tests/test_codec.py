@@ -18,6 +18,7 @@ from libmodjpeg_tpu import constants as C
 from libmodjpeg_tpu.codec import decode, encode
 
 from util import assert_matches_libjpeg
+from conftest import FIXTURE_IMAGES as IMAGES
 
 MODES = {
     "baseline": (0, None),
@@ -47,7 +48,7 @@ def test_decode_fixture_metadata(fixture_jpeg):
 def test_decode_matches_libjpeg(fixture_jpeg, ref_tools):
     _, dump = ref_tools
     img = decode(fixture_jpeg)
-    assert_matches_libjpeg(img, dump, "/root/reference/src/contrib/images/image.jpg")
+    assert_matches_libjpeg(img, dump, f"{IMAGES}/image.jpg")
 
 
 @pytest.mark.parametrize("mode", list(MODES))
@@ -86,7 +87,7 @@ def test_decode_interop_libjpeg_outputs(fixture_jpeg, ref_tools, flags, tmp_path
     modjpeg, dump = ref_tools
     out = tmp_path / "ref.jpg"
     subprocess.run(
-        [modjpeg, "-i", "/root/reference/src/contrib/images/image.jpg"]
+        [modjpeg, "-i", f"{IMAGES}/image.jpg"]
         + flags + ["-o", str(out)],
         check=True, capture_output=True)
     img = decode(out.read_bytes())

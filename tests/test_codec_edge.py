@@ -12,7 +12,7 @@ from libmodjpeg_tpu.codec import decode, encode
 from libmodjpeg_tpu.errors import UnsupportedColorspaceError
 from libmodjpeg_tpu.model import CoefImage, ComponentInfo, Sampling
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 def synthetic_image(qdc=400, w=64, h=48):

@@ -15,7 +15,7 @@ from libmodjpeg_tpu.codec import decode
 from libmodjpeg_tpu.pixels import to_pixels
 from libmodjpeg_tpu.png_reader import decode_png
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 def run_reference(modjpeg, out_path, *args):

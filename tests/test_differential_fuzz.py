@@ -25,6 +25,7 @@ from libmodjpeg_tpu import constants as C
 from libmodjpeg_tpu.codec import decode, encode
 from test_fuzz_roundtrip import MODES, SAMPLINGS, random_image
 from util import assert_matches_libjpeg, make_gradient_pixels
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 @pytest.mark.parametrize("sampling", list(SAMPLINGS))
@@ -116,8 +117,8 @@ def test_reference_cli_output_read_by_us(ref_tools, tmp_path):
     modjpeg, dump = ref_tools
     dst = tmp_path / "refout.jpg"
     subprocess.run(
-        [modjpeg, "-i", "/root/reference/src/contrib/images/image.jpg",
-         "-p", "br", "-d", "/root/reference/src/contrib/images/dropon.png",
+        [modjpeg, "-i", f"{IMAGES}/image.jpg",
+         "-p", "br", "-d", f"{IMAGES}/dropon.png",
          "-y", "luminance=-40",
          "-o", str(dst)], check=True)
     ours = decode(dst.read_bytes())

@@ -14,7 +14,7 @@ from PIL import Image
 import libmodjpeg_tpu as mj
 from libmodjpeg_tpu.codec import decode
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 
 EFFECTS = {
     "grayscale": (["-g"], lambda im: mj.effect_grayscale(im)),

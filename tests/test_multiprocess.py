@@ -16,6 +16,7 @@ import sys
 
 import numpy as np
 import pytest
+from conftest import FIXTURE_IMAGES as IMAGES
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "mp_worker.py")
@@ -73,7 +74,7 @@ def test_two_process_compose_bit_identical(tmp_path):
                 merged[k] = z[k]
 
     images = make_batch(n_images)
-    logo = mj.read_dropon("/root/reference/src/contrib/images/dropon.png")
+    logo = mj.read_dropon(f"{IMAGES}/dropon.png")
     singles = [mj.compose(im, logo, mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -5, -3)
                for im in images]
 
@@ -109,7 +110,7 @@ def test_two_process_corpus_matches_single_host(tmp_path):
     out1 = tmp_path / "single"
     cfg = CorpusConfig(
         inputs=[str(indir)], output_dir=str(out1),
-        dropon_path="/root/reference/src/contrib/images/dropon.png",
+        dropon_path=f"{IMAGES}/dropon.png",
         align=C.ALIGN_BOTTOM | C.ALIGN_RIGHT,
         effects=[("luminance", (35,))], batch_size=4)
     s = run_corpus(cfg)

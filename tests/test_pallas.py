@@ -6,6 +6,7 @@ import pytest
 
 from libmodjpeg_tpu.ops.compose import blend_blocks
 from libmodjpeg_tpu.ops.pallas_compose import blend_blocks_pallas, TILE
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 @pytest.mark.parametrize("n", [1, 7, TILE, TILE + 3, 2 * TILE])
@@ -57,8 +58,8 @@ def test_pallas_routing_under_grid_sharding():
     from libmodjpeg_tpu.parallel import compose_sharded, make_mesh
     from libmodjpeg_tpu.parallel import grid as pgrid
 
-    img = mj.read_jpeg("/root/reference/src/contrib/images/image.jpg")
-    logo = mj.read_dropon("/root/reference/src/contrib/images/dropon.png")
+    img = mj.read_jpeg(f"{IMAGES}/image.jpg")
+    logo = mj.read_dropon(f"{IMAGES}/dropon.png")
     single = mj.compose(img, logo, mj.ALIGN_CENTER, 3, -7)
 
     old = oc._PALLAS_DECISION

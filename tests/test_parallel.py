@@ -18,7 +18,7 @@ from libmodjpeg_tpu.parallel import (
     make_mesh,
 )
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 @pytest.fixture(scope="module")

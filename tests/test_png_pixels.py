@@ -10,7 +10,7 @@ import libmodjpeg_tpu as mj
 from libmodjpeg_tpu.png_reader import decode_png
 from libmodjpeg_tpu.pixels import to_pixels
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 
 
 def pil_png_bytes(img: Image.Image, **kw) -> bytes:

@@ -15,7 +15,7 @@ from libmodjpeg_tpu.codec import decode, encode
 from libmodjpeg_tpu import constants as C
 from libmodjpeg_tpu.errors import ModJpegError
 
-IMAGES = "/root/reference/src/contrib/images"
+from conftest import FIXTURE_IMAGES as IMAGES
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -156,8 +156,11 @@ def test_fallback_when_options_requested():
     assert bc.last_stream_path == "full"
 
 
-def test_mixed_batch_falls_back():
-    # one file in the batch lacks restarts -> whole batch takes the full path
+def test_mixed_batch_per_file_fallback():
+    # One file in the batch lacks restarts: it alone takes the full path
+    # while the eligible file stays surgical (per-file fallback), the
+    # fallback is counted by reason, and both outputs still match the
+    # forced-full pipeline.
     rng = np.random.RandomState(10)
     good = make_jpeg(rng, 320, 240, "420", 8)
     bad = make_jpeg(rng, 320, 240, "420", 0)
@@ -166,8 +169,35 @@ def test_mixed_batch_falls_back():
     template = codec.decode(good)
     bc = BatchComposer(template, dropon, 0, 0, 0)
     outs = list(bc.watermark_stream(iter([good, bad]), batch=2))
-    assert bc.last_stream_path == "full"
+    assert bc.last_stream_path == "mixed"
+    assert bc.last_fallback_reasons == {"restart-interval": 1}
     assert len(outs) == 2
+    # surgical output keeps restart structure; full-path file matches full
+    outs_f = list(bc.watermark_stream(iter([good, bad]), batch=2,
+                                      surgical=False))
+    for s, f in zip(outs, outs_f):
+        assert_equal_coefs(s, f)
+
+
+def test_own_quant_tables_stay_surgical():
+    # A file whose quant tables differ from the template's is still in the
+    # surgical envelope: the compose dequantizes with the FILE's own tables,
+    # so the result matches the full pipeline on that same file.
+    rng = np.random.RandomState(12)
+    tpl_data = make_jpeg(rng, 320, 240, "420", 8, quality=85)
+    other = make_jpeg(rng, 320, 240, "420", 8, quality=70)
+    logo = rng.randint(0, 255, (40, 96, 4), dtype=np.uint8)
+    dropon = mj.read_dropon_from_raw(logo, mj.COLORSPACE_RGBA, 96, 40)
+    template = codec.decode(tpl_data)
+    bc = BatchComposer(template, dropon, mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT,
+                       -4, -4)
+    outs = list(bc.watermark_stream(iter([tpl_data, other]), batch=2))
+    assert bc.last_stream_path == "surgical"
+    assert bc.last_fallback_reasons == {}
+    outs_f = list(bc.watermark_stream(iter([tpl_data, other]), batch=2,
+                                      surgical=False))
+    for s, f in zip(outs, outs_f):
+        assert_equal_coefs(s, f)
 
 
 def test_visual_footprint_confinement():

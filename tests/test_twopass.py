@@ -37,22 +37,25 @@ def _assert_same(data):
 @pytest.mark.parametrize("mode,sub", [("RGB", "420"), ("RGB", "444"),
                                       ("L", None)])
 def test_twopass_matches_serial(prog, mode, sub):
-    # 832x480 4:2:0 = 1560 MCUs (above the two-pass engage threshold);
-    # grayscale 832x480 = 104x60 = 6240 single-block MCUs
+    # 1280x720 4:2:0 noisy q85 is ~330 KB of entropy data — above both the
+    # MCU-count and scan-byte gates, so the two-pass path really engages
     rng = np.random.default_rng(11)
-    pix = _noisy_pixels(rng, 832, 480)
+    pix = _noisy_pixels(rng, 1280, 720)
     data = encode_pil(pix, mode=mode, quality=85, subsampling=sub,
                       progressive=prog)
     _assert_same(data)
 
 
 def test_twopass_sparse_stream():
-    # smooth content -> short blocks, heavy EOB traffic in the index pass
-    yy, xx = np.mgrid[0:480:1, 0:832:1]
+    # mixed content: smooth regions (short blocks, heavy EOB traffic) plus a
+    # noisy band so the scan still clears the 256 KB size gate
+    rng = np.random.default_rng(4)
+    yy, xx = np.mgrid[0:1080:1, 0:1920:1]
     pix = np.clip(128 + 60 * np.sin(xx / 200.0) * np.cos(yy / 150.0), 0,
                   255).astype(np.uint8)
     pix = np.stack([pix] * 3, axis=-1)
-    data = encode_pil(pix, quality=60, subsampling="420")
+    pix[400:700] = _noisy_pixels(rng, 1920, 300)
+    data = encode_pil(pix, quality=85, subsampling="420")
     _assert_same(data)
 
 
@@ -61,7 +64,7 @@ def test_twopass_truncated_stream():
     # parallel paths must agree (both produce the same coefficients or the
     # same error class) and never crash.
     rng = np.random.default_rng(5)
-    pix = _noisy_pixels(rng, 832, 480)
+    pix = _noisy_pixels(rng, 1280, 720)
     data = encode_pil(pix, quality=85, subsampling="420")
     cut = data[: len(data) * 2 // 3]
     try:
@@ -82,7 +85,7 @@ def test_twopass_12bit_extended():
     from libmodjpeg_tpu.encode_pixels import from_pixels
 
     rng = np.random.default_rng(9)
-    pix = _noisy_pixels(rng, 832, 480)
+    pix = _noisy_pixels(rng, 1280, 720)
     img = from_pixels(pix, quality=90, subsampling="420")
     for c in range(len(img.coefs)):
         img.coefs[c] = (img.coefs[c].astype(np.int32) * 3).clip(
