@@ -23,7 +23,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
-from conftest import FIXTURE_IMAGES as IMAGES
+
+# NOT `from conftest import FIXTURE_IMAGES`: conftest's import-time setup
+# appends --xla_force_host_platform_device_count=8 to XLA_FLAGS, which would
+# override the 4-device-per-process flag the spawning test set for this
+# worker (last flag wins -> 16 global devices for an 8-image batch).
+IMAGES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
 
 def main():
