@@ -131,6 +131,45 @@ def blend_blocks_auto(x_image: jax.Array, x_dropon: jax.Array,
     return blend_blocks(x_image, x_dropon, w_alpha)
 
 
+def compose_region_auto(region: jax.Array, dropon: jax.Array,
+                        alpha: jax.Array, quant: jax.Array) -> jax.Array:
+    """The full compose step for a region of quantized coefficients:
+    dequantize, masked blend, truncating correction, truncating requantize
+    (compose.c:277-336 semantics), returned as int16.
+
+    region: [..., 8, 8] int16/int32 quantized image coefficients
+    dropon/alpha: same shape, float-castable (already broadcast)
+    quant: int-castable, broadcastable to region's shape
+
+    On TPU this is ONE fused Pallas kernel (int16 in / int16 out — no f32
+    intermediates touching HBM); elsewhere it is the reference XLA op
+    sequence.  All compose paths (batch, packed, grid-sharded, graft entry)
+    route through here."""
+    shape = region.shape
+    n = 1
+    for s in shape[:-2]:
+        n *= s
+    if use_pallas_blend():
+        from .pallas_compose import compose_blocks_pallas
+
+        q = jnp.broadcast_to(quant.astype(jnp.int32), shape).reshape(n, 64)
+        y = compose_blocks_pallas(region.reshape(n, 64),
+                                  dropon.astype(jnp.float32).reshape(n, 64),
+                                  alpha.astype(jnp.float32).reshape(n, 64),
+                                  q, interpret=_pallas_interpret())
+        return y.reshape(shape)
+    region = region.astype(jnp.int32)
+    qi = jnp.broadcast_to(quant.astype(jnp.int32), shape)
+    x1 = region.astype(jnp.float32) * qi.astype(jnp.float32)
+    y = blend_blocks(x1.reshape(-1, 8, 8),
+                     dropon.astype(jnp.float32).reshape(-1, 8, 8),
+                     alpha.astype(jnp.float32).reshape(-1, 8, 8))
+    y = y.reshape(shape)
+    corr = jnp.trunc(y - x1).astype(jnp.int32)
+    out = requant_trunc(region * qi + corr, qi)
+    return jnp.clip(out, -32768, 32767).astype(jnp.int16)
+
+
 @jax.jit
 def requant_trunc(values: jax.Array, quant: jax.Array) -> jax.Array:
     """C-style truncating integer division (compose.c:327-336 semantics).

@@ -17,7 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import constants as C
 from ..model import CoefImage, Dropon
-from ..ops.compose import blend_blocks_auto, requant_trunc
+from ..ops.compose import compose_region_auto
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -30,21 +30,13 @@ def _compose_batch_component(grids: jax.Array, dropon_blocks: jax.Array,
     lower to a plain strided update, sharded over the batch axis."""
     n = grids.shape[0]
     h, w = dropon_blocks.shape[-4:-2]
-    region = grids[:, row0:row0 + h, col0:col0 + w].astype(jnp.int32)
-    qf = quant.astype(jnp.float32)
-    x1 = region.astype(jnp.float32) * qf
+    region = grids[:, row0:row0 + h, col0:col0 + w]
     if dropon_blocks.ndim == 4:
         dropon_b = jnp.broadcast_to(dropon_blocks, (n, h, w, 8, 8))
         alpha_b = jnp.broadcast_to(alpha_weights, (n, h, w, 8, 8))
     else:
         dropon_b, alpha_b = dropon_blocks, alpha_weights
-    y = blend_blocks_auto(x1.reshape(-1, 8, 8),
-                          dropon_b.reshape(-1, 8, 8).astype(jnp.float32),
-                          alpha_b.reshape(-1, 8, 8).astype(jnp.float32))
-    y = y.reshape(n, h, w, 8, 8)
-    corr = jnp.trunc(y - x1).astype(jnp.int32)
-    out = requant_trunc(region * quant.astype(jnp.int32) + corr, quant)
-    out = jnp.clip(out, -32768, 32767).astype(jnp.int16)
+    out = compose_region_auto(region, dropon_b, alpha_b, quant)
     return grids.at[:, row0:row0 + h, col0:col0 + w].set(out)
 
 
@@ -65,19 +57,13 @@ def _compose_regions_packed(flat, dropons, alphas, quants, shapes):
                                                quants):
         sz = n * h * w * 64
         region = jax.lax.slice(flat, (off,), (off + sz,)) \
-            .reshape(n, h, w, 8, 8).astype(jnp.int32)
+            .reshape(n, h, w, 8, 8)
         off += sz
         qi = quant.astype(jnp.int32)[:, None, None]     # [n, 1, 1, 8, 8]
-        qf = qi.astype(jnp.float32)
-        x1 = region.astype(jnp.float32) * qf
         d = jnp.broadcast_to(dropon, (n, h, w, 8, 8))
         a = jnp.broadcast_to(alpha, (n, h, w, 8, 8))
-        y = blend_blocks_auto(x1.reshape(-1, 8, 8), d.reshape(-1, 8, 8),
-                              a.reshape(-1, 8, 8)).reshape(n, h, w, 8, 8)
-        corr = jnp.trunc(y - x1).astype(jnp.int32)
-        out = requant_trunc(region * qi + corr, qi)
-        outs.append(jnp.clip(out, -32768, 32767).astype(jnp.int16)
-                    .reshape(-1))
+        out = compose_region_auto(region, d, a, qi)
+        outs.append(out.reshape(-1))
     return jnp.concatenate(outs)
 
 

@@ -17,7 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..model import CoefImage
 from ..ops import effects as fx
-from ..ops.compose import blend_blocks_auto, requant_trunc
+from ..ops.compose import compose_region_auto
 
 
 def _shard_grid(mesh: Mesh, arr: np.ndarray) -> jax.Array:
@@ -80,15 +80,8 @@ def _compose_component_sharded(grid: jax.Array, dropon_blocks: jax.Array,
                                alpha_weights: jax.Array, quant: jax.Array,
                                row0: int, col0: int) -> jax.Array:
     h, w = dropon_blocks.shape[:2]
-    region = grid[row0:row0 + h, col0:col0 + w].astype(jnp.int32)
-    x1 = region.astype(jnp.float32) * quant.astype(jnp.float32)
-    y = blend_blocks_auto(x1.reshape(-1, 8, 8),
-                          dropon_blocks.reshape(-1, 8, 8).astype(jnp.float32),
-                          alpha_weights.reshape(-1, 8, 8).astype(jnp.float32))
-    y = y.reshape(h, w, 8, 8)
-    corr = jnp.trunc(y - x1).astype(jnp.int32)
-    out = requant_trunc(region * quant.astype(jnp.int32) + corr, quant)
-    out = jnp.clip(out, -32768, 32767).astype(jnp.int16)
+    region = grid[row0:row0 + h, col0:col0 + w]
+    out = compose_region_auto(region, dropon_blocks, alpha_weights, quant)
     return grid.at[row0:row0 + h, col0:col0 + w].set(out)
 
 

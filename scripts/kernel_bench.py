@@ -33,7 +33,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from libmodjpeg_tpu.ops.compose import blend_blocks
-from libmodjpeg_tpu.ops.pallas_compose import blend_blocks_pallas
+from libmodjpeg_tpu.ops.pallas_compose import (blend_blocks_pallas,
+                                               compose_blocks_pallas)
+
+# Useful MXU work per composed block: 16 [64,64] matvec-equivalents
+# (8 column-pass + 8 row-pass), counted as f32 MACs.
+FLOPS_PER_BLOCK = 2 * 16 * 64 * 64
+# v5e peak is 197 TFLOP/s bf16; Precision.HIGHEST f32 matmuls cost 6 MXU
+# passes, so the attainable f32-HIGHEST peak is ~32.8 TFLOP/s.
+V5E_F32_HIGHEST_PEAK = 197e12 / 6
 
 
 @partial(jax.jit, static_argnames=("kind", "r"))
@@ -50,6 +58,17 @@ def chain(x1, x0, w, kind, r):
         return y * 0.999
 
     return jax.lax.fori_loop(0, r, body, x1).sum()
+
+
+@partial(jax.jit, static_argnames=("r",))
+def chain_fused(region, x0, w, q, r):
+    """Chained FUSED compose (int16 in/out incl. dequant+requant)."""
+
+    def body(i, acc):
+        xs = acc ^ (i % 2).astype(jnp.int16)  # prevent hoisting, stays i16
+        return compose_blocks_pallas(xs, x0, w, q)
+
+    return jax.lax.fori_loop(0, r, body, region).sum()
 
 
 def main():
@@ -80,7 +99,23 @@ def main():
             dt = (time.perf_counter() - t0) / (args.reps * args.chain)
             times[kind] = dt
             line += f" {kind} {dt*1e6:.0f}us/blend"
-        if len(times) == 2:
+        region = jnp.asarray(rng.randint(-900, 900, (n, 64)).astype(np.int16))
+        q = jnp.asarray(rng.randint(1, 255, (n, 64)).astype(np.int32))
+        try:
+            int(chain_fused(region, x0, w, q, args.chain))  # warm + force
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                int(chain_fused(region, x0, w, q, args.chain))
+            dt = (time.perf_counter() - t0) / (args.reps * args.chain)
+            times["fused"] = dt
+            tf = FLOPS_PER_BLOCK * n / dt
+            line += (f" fused {dt*1e6:.0f}us/compose"
+                     f" [{tf/1e12:.1f} TF/s ="
+                     f" {100*tf/V5E_F32_HIGHEST_PEAK:.0f}% of f32-HIGHEST"
+                     f" MXU peak]")
+        except Exception as e:
+            line += f" fused FAILED ({type(e).__name__})"
+        if "einsum" in times and "pallas" in times:
             line += f"  speedup x{times['einsum']/times['pallas']:.2f}"
         print(line)
 

@@ -46,6 +46,86 @@ def test_pallas_opaque_identity():
     np.testing.assert_allclose(out, x0, atol=3e-2)
 
 
+@pytest.mark.parametrize("n", [1, 7, TILE, TILE + 3])
+def test_fused_compose_matches_xla_sequence(n):
+    """compose_blocks_pallas (dequant+blend+requant in-kernel) vs the unfused
+    XLA op sequence.  Requantized coefficients may differ only where the f32
+    blend lands exactly on a trunc edge (none expected at these magnitudes)."""
+    from libmodjpeg_tpu.ops.compose import requant_trunc
+    from libmodjpeg_tpu.ops.pallas_compose import compose_blocks_pallas
+
+    rng = np.random.RandomState(100 + n)
+    region = rng.randint(-900, 900, (n, 64)).astype(np.int16)
+    x0 = (rng.randn(n, 64) * 300).astype(np.float32)
+    w = (rng.randn(n, 64) * 0.02).astype(np.float32)
+    w[:, 0] = 0.25
+    q = rng.randint(1, 255, (n, 64)).astype(np.int32)
+
+    out = np.asarray(compose_blocks_pallas(
+        jnp.asarray(region), jnp.asarray(x0), jnp.asarray(w),
+        jnp.asarray(q), interpret=True))
+
+    ri = region.astype(np.int32)
+    x1 = jnp.asarray(ri.astype(np.float32) * q)
+    y = blend_blocks(x1.reshape(n, 8, 8), jnp.asarray(x0).reshape(n, 8, 8),
+                     jnp.asarray(w).reshape(n, 8, 8)).reshape(n, 64)
+    corr = np.trunc(np.asarray(y) - np.asarray(x1)).astype(np.int32)
+    ref = np.asarray(requant_trunc(jnp.asarray(ri * q + corr),
+                                   jnp.asarray(q)))
+    ref = np.clip(ref, -32768, 32767).astype(np.int16)
+    diff = out.astype(int) - ref.astype(int)
+    assert np.abs(diff).max() <= 1
+    assert (diff != 0).mean() < 0.005
+
+
+def test_fused_compose_zero_mask_is_exact_identity():
+    """All-zero mask weights (untouched blocks / the zero-alpha padding that
+    realizes sub-block placement) must reproduce the input coefficients
+    EXACTLY through the fused kernel — dequant+requant round-trip included."""
+    from libmodjpeg_tpu.ops.pallas_compose import compose_blocks_pallas
+
+    rng = np.random.RandomState(7)
+    n = TILE + 5  # cover the padded tail too
+    region = rng.randint(-2047, 2048, (n, 64)).astype(np.int16)
+    x0 = (rng.randn(n, 64) * 500).astype(np.float32)
+    w = np.zeros((n, 64), np.float32)
+    q = rng.randint(1, 65535, (n, 64)).astype(np.int32)
+    out = np.asarray(compose_blocks_pallas(
+        jnp.asarray(region), jnp.asarray(x0), jnp.asarray(w),
+        jnp.asarray(q), interpret=True))
+    np.testing.assert_array_equal(out, region)
+
+
+def test_compose_region_auto_routes_fused(monkeypatch):
+    """compose_region_auto under MJT_PALLAS_INTERPRET takes the fused kernel
+    and agrees with the XLA fallback path."""
+    import libmodjpeg_tpu.ops.compose as oc
+
+    rng = np.random.RandomState(3)
+    shape = (2, 3, 4, 8, 8)
+    region = rng.randint(-600, 600, shape).astype(np.int16)
+    d = (rng.randn(*shape) * 200).astype(np.float32)
+    a = (rng.randn(*shape) * 0.02).astype(np.float32)
+    q = rng.randint(1, 128, (8, 8)).astype(np.int32)
+
+    fallback = np.asarray(oc.compose_region_auto(
+        jnp.asarray(region), jnp.asarray(d), jnp.asarray(a), jnp.asarray(q)))
+
+    monkeypatch.setenv("MJT_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(oc, "_PALLAS_DECISION", True)
+    try:
+        fused = np.asarray(oc.compose_region_auto(
+            jnp.asarray(region), jnp.asarray(d), jnp.asarray(a),
+            jnp.asarray(q)))
+    finally:
+        monkeypatch.setattr(oc, "_PALLAS_DECISION", None)
+
+    assert fused.dtype == np.int16 and fused.shape == shape
+    diff = fused.astype(int) - fallback.astype(int)
+    assert np.abs(diff).max() <= 1
+    assert (diff != 0).mean() < 0.005
+
+
 def test_pallas_routing_under_grid_sharding():
     """The production routing (blend_blocks_auto -> Pallas) must compile and
     run inside the GSPMD-sharded grid compose, not just standalone.  Forced
