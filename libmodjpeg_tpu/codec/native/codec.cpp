@@ -17,10 +17,12 @@
 // directions, APPn/COM marker preservation.
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
+#include <climits>
 #include <cstring>
 #include <ctime>
 #include <memory>

@@ -47,3 +47,55 @@ def test_parallel_scan_decode_with_restarts():
     par = decode(data, nthreads=4)
     for c in range(3):
         np.testing.assert_array_equal(par.coefs[c], serial.coefs[c])
+
+
+def _dense_pixels(rng, w, h):
+    """Noisy pixels -> dense AC scans, so the entropy payload crosses the
+    256 KiB pipeline size gate at moderate dimensions."""
+    return rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("subsampling", ["420", "444"])
+@pytest.mark.parametrize("restart", [0, 5], ids=["nori", "ri5"])
+def test_pipelined_scan_decode_matches_serial(subsampling, restart):
+    """The block-row-pipelined scheduler (conflicting scans decoding as a
+    wavefront) is bit-identical to the serial in-order walk.  Dense noise
+    pushes the file over the size gate so decode_scans_pipelined actually
+    engages (a smooth test-size file would take the wave path)."""
+    rng = np.random.RandomState(33)
+    pix = _dense_pixels(rng, 712, 536)  # non-MCU-aligned dims
+    img = from_pixels(pix, quality=95, subsampling=subsampling)
+    data = encode(img, options=C.OPTION_PROGRESSIVE, restart_interval=restart)
+    assert len(data) >= (256 << 10), len(data)  # gate actually crossed
+    serial = decode(data, nthreads=1)
+    for nt in (2, 3, 8):
+        par = decode(data, nthreads=nt)
+        for c in range(serial.num_components):
+            np.testing.assert_array_equal(par.coefs[c], serial.coefs[c],
+                                          err_msg=f"nt={nt} comp={c}")
+
+
+def test_pipelined_scan_decode_truncated_stream():
+    """Truncation is tolerated leniently (libjpeg-style: the bit reader pads
+    out the missing tail); the pipelined scheduler must not hang and must
+    produce exactly what the serial walk produces on the same bytes."""
+    rng = np.random.RandomState(34)
+    pix = _dense_pixels(rng, 712, 536)
+    img = from_pixels(pix, quality=95, subsampling="420")
+    data = encode(img, options=C.OPTION_PROGRESSIVE)
+    assert len(data) >= (256 << 10)
+    bad = data[:len(data) * 2 // 3]
+
+    def try_decode(nt):
+        try:
+            return decode(bad, nthreads=nt)
+        except Exception as e:
+            return type(e).__name__
+
+    serial = try_decode(1)
+    par = try_decode(4)
+    if isinstance(serial, str) or isinstance(par, str):
+        assert serial == par  # both reject, same error class
+    else:
+        for c in range(serial.num_components):
+            np.testing.assert_array_equal(par.coefs[c], serial.coefs[c])
