@@ -129,6 +129,12 @@ def _load() -> ctypes.CDLL:
             + [ctypes.c_char_p, ctypes.c_int64]   # preset tables blob
             + lib.mjt_encode_ptrs.argtypes[13:]
         )
+        lib.mjt_encode_ptrs_script.restype = ctypes.c_int32
+        lib.mjt_encode_ptrs_script.argtypes = (
+            lib.mjt_encode_ptrs.argtypes[:13]
+            + [ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]  # scan script
+            + lib.mjt_encode_ptrs.argtypes[13:]
+        )
         lib.mjt_build_optimal_table.restype = ctypes.c_int32
         lib.mjt_build_optimal_table.argtypes = [
             ctypes.POINTER(ctypes.c_int64),   # freq[257]
@@ -304,12 +310,21 @@ def encode(
     nthreads: int = 0,
     ref_markers: bool = False,
     preset_tables=None,
+    scan_script=None,
 ) -> bytes:
     """Encode a CoefImage back to a JPEG bitstream.
 
     ``options`` is an OR of C.OPTION_* flags (optimize/progressive/arithmetic,
     matching image.c:170-189 semantics).  ``restart_interval=None`` preserves
     the image's own interval; pass 0 to strip restart markers.
+
+    ``scan_script`` (cjpeg/mozjpeg ``-scans`` parity): a list of
+    ``(comps, Ss, Se, Ah, Al)`` tuples, where ``comps`` is an iterable of
+    component indices in frame order.  A script with any partial band or
+    successive-approximation pass produces a progressive file (overriding
+    OPTION_PROGRESSIVE); full-band-only scripts produce multi-scan
+    sequential output.  Validated against T.81 B.2.3 / jcmaster.c rules.
+    Mutually exclusive with ``preset_tables``.
 
     ``ref_markers=True`` reproduces libjpeg's marker emission exactly for
     byte-parity with the reference binary: libjpeg writes its own generated
@@ -387,10 +402,25 @@ def encode(
         len(blob),
     )
     tail = (ctypes.byref(out_buf), ctypes.byref(out_len), errbuf, len(errbuf))
+    if preset_tables is not None and scan_script is not None:
+        raise ValueError("preset_tables and scan_script are mutually "
+                         "exclusive")
     if preset_tables is not None:
         pblob = (preset_tables if isinstance(preset_tables, bytes)
                  else pack_preset_tables(preset_tables))
         rc = lib.mjt_encode_ptrs_tables(*common, pblob, len(pblob), *tail)
+    elif scan_script is not None:
+        entries = []
+        for comps, ss, se, ah, al in scan_script:
+            comps = list(comps)
+            if not 1 <= len(comps) <= 4:
+                raise ValueError("scan must name 1-4 components")
+            entries += ([len(comps)] + comps + [0] * (4 - len(comps))
+                        + [int(ss), int(se), int(ah), int(al)])
+        script_arr = np.asarray(entries, dtype=np.int32)
+        rc = lib.mjt_encode_ptrs_script(
+            *common, script_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(scan_script), *tail)
     else:
         rc = lib.mjt_encode_ptrs(*common, *tail)
     if rc != 0:
