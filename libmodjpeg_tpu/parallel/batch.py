@@ -8,6 +8,7 @@ embarrassingly parallel over the batch axis — no collectives on the hot path.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional, Sequence
 
 import jax
@@ -256,18 +257,24 @@ class BatchComposer:
         if own_pool:
             import os as _os
             pool = ThreadPoolExecutor(max_workers=max(2, _os.cpu_count() or 2))
+        # two hand-off queues: producer -> fetcher (pending device results)
+        # and fetcher -> consumer (host arrays ready to scatter+encode)
         q: _queue.Queue = _queue.Queue(maxsize=max(1, lookahead))
+        q2: _queue.Queue = _queue.Queue(maxsize=max(1, lookahead))
         stop = object()
         closed = threading.Event()
 
-        def put(item) -> bool:
+        def put_to(dst, item) -> bool:
             while not closed.is_set():
                 try:
-                    q.put(item, timeout=0.2)
+                    dst.put(item, timeout=0.2)
                     return True
                 except _queue.Full:
                     pass
             return False
+
+        def put(item) -> bool:
+            return put_to(q, item)
 
         plan = None
         if surgical is not False and not self.noop and options == 0 and (
@@ -278,6 +285,15 @@ class BatchComposer:
                 plan = None
         self.last_stream_path = "surgical" if plan is not None else "full"
         self.last_fallback_reasons = {}
+        # per-stage cumulative wall clocks (seconds): producer writes
+        # decode/pack, the consumer thread writes fetch/scatter/encode —
+        # disjoint keys, no lock needed.  Read via last_stream_stats after
+        # the stream drains; stage sums exceeding total wall = good overlap.
+        stats = {"decode_s": 0.0, "pack_dispatch_s": 0.0, "fetch_s": 0.0,
+                 "scatter_s": 0.0, "encode_s": 0.0, "wall_s": 0.0,
+                 "batches": 0}
+        self.last_stream_stats = stats
+        t_start = time.perf_counter()
         origins = None if self.noop else self._region_origins()
 
         def prep_batch(chunk):
@@ -303,7 +319,9 @@ class BatchComposer:
                 return codec.decode(chunk[i], max_pixel=max_pixel,
                                     nthreads=1 if n > 1 else 0)
 
+            t0 = time.perf_counter()
             prepped = list(pool.map(prep_one, range(n)))
+            stats["decode_s"] += time.perf_counter() - t0
             if self.noop:
                 return payloads, prepped, None
             regions, quants = [], []
@@ -318,7 +336,10 @@ class BatchComposer:
                                     in enumerate(origins)])
                     quants.append([im.quant_table_for(c)
                                    for c in range(len(origins))])
-            return payloads, prepped, self._pack_regions(regions, quants)
+            t0 = time.perf_counter()
+            pending = self._pack_regions(regions, quants)
+            stats["pack_dispatch_s"] += time.perf_counter() - t0
+            return payloads, prepped, pending
 
         def producer():
             try:
@@ -339,18 +360,46 @@ class BatchComposer:
             except BaseException as e:  # surface decode errors to the consumer
                 put(e)
 
+        def fetcher():
+            """Middle pipeline stage: block on the device->host transfer OFF
+            the consumer thread, so the wire wait of batch i overlaps the
+            (CPU-bound) encode of batch i-1 instead of serializing with it.
+            np.asarray on a device array releases the GIL while it waits."""
+            try:
+                while not closed.is_set():
+                    try:
+                        item = q.get(timeout=0.2)
+                    except _queue.Empty:
+                        continue
+                    if item is stop or isinstance(item, BaseException):
+                        put_to(q2, item)
+                        return
+                    chunk, payloads, prepped, pending = item
+                    parts = None
+                    if pending is not None:
+                        t0 = time.perf_counter()
+                        parts = self._unpack_regions(pending)
+                        stats["fetch_s"] += time.perf_counter() - t0
+                    if not put_to(q2, (chunk, payloads, prepped, parts)):
+                        return
+            except BaseException as e:
+                put_to(q2, e)
+
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        tf = threading.Thread(target=fetcher, daemon=True)
+        tf.start()
         try:
             while True:
-                item = q.get()
+                item = q2.get()
                 if item is stop:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                chunk, payloads, prepped, pending = item
-                if pending is not None:
-                    parts = self._unpack_regions(pending)
+                chunk, payloads, prepped, parts = item
+                stats["batches"] += 1
+                if parts is not None:
+                    t0 = time.perf_counter()
                     for i in range(len(chunk)):
                         regions_i = [p[i] for p in parts]
                         if payloads[i] is not None:
@@ -360,6 +409,7 @@ class BatchComposer:
                             for c, (r0, c0, h, w) in enumerate(origins):
                                 im.coefs[c][r0:r0 + h, c0:c0 + w] = \
                                     regions_i[c]
+                    stats["scatter_s"] += time.perf_counter() - t0
 
                 def enc_one(i):
                     if payloads[i] is not None:
@@ -368,10 +418,14 @@ class BatchComposer:
                     return codec.encode(prepped[i], options=options,
                                         restart_interval=restart_interval)
 
+                t0 = time.perf_counter()
                 yield from pool.map(enc_one, range(len(chunk)))
+                stats["encode_s"] += time.perf_counter() - t0
         finally:
+            stats["wall_s"] = time.perf_counter() - t_start
             closed.set()
             t.join(timeout=2.0)
+            tf.join(timeout=2.0)
             if own_pool:
                 pool.shutdown(wait=False)
 
