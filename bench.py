@@ -91,6 +91,8 @@ def supervise() -> int:
             results.append(rec)
     if results:
         best = max(results, key=lambda r: r.get("value", 0))
+        # honesty: every attempt's headline is visible, not just the best
+        best["attempts"] = [r.get("value", 0) for r in results]
         print(json.dumps(best))
         return 0
     print(json.dumps({"metric": "composited_megapixels_per_s_per_chip",
@@ -249,6 +251,44 @@ def main():
             "touched_segments": f"{len(plan.segs)}/{plan.nsegs_file}",
         }
 
+    # on-chip fused-kernel MFU (scripts/kernel_bench.py methodology:
+    # device-chained fori_loop so the tunnel RTT is amortized out); TPU only
+    kernel_mfu = None
+    if use_pallas_blend() and jax.devices()[0].platform != "cpu":
+        import functools
+
+        import jax.numpy as jnp
+
+        from libmodjpeg_tpu.ops.pallas_compose import compose_blocks_pallas
+
+        FLOPS_PER_BLOCK = 2 * 16 * 64 * 64
+        V5E_F32_HIGHEST_PEAK = 197e12 / 6   # 6 MXU passes per HIGHEST f32
+
+        @functools.partial(jax.jit, static_argnames=("r",))
+        def chain_fused(region, x0, w, q, r):
+            def body(i, acc):
+                xs = acc ^ (i % 2).astype(jnp.int16)   # prevent hoisting
+                return compose_blocks_pallas(xs, x0, w, q)
+            return jax.lax.fori_loop(0, r, body, region).sum()
+
+        nk, chain_r, reps = 131072, 10, 3
+        x0k = jnp.asarray((rng.randn(nk, 64) * 300).astype(np.float32))
+        wk = jnp.asarray((rng.rand(nk, 64) * 0.02).astype(np.float32))
+        regk = jnp.asarray(rng.randint(-900, 900, (nk, 64)).astype(np.int16))
+        qk = jnp.asarray(rng.randint(1, 255, (nk, 64)).astype(np.int32))
+        try:
+            int(chain_fused(regk, x0k, wk, qk, chain_r))   # warm + force
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                int(chain_fused(regk, x0k, wk, qk, chain_r))
+            dtk = (time.perf_counter() - t0) / (reps * chain_r)
+            tf = FLOPS_PER_BLOCK * nk / dtk
+            kernel_mfu = {"tflops": round(tf / 1e12, 2),
+                          "mfu": round(tf / V5E_F32_HIGHEST_PEAK, 4),
+                          "n_blocks": nk}
+        except Exception:
+            pass
+
     mp = mp_batch * ITERS
     mps = mp / dt          # full pipeline, restart-free corpus (headline)
     mps_s = mp / dt_s      # surgical splice, restart-segmented corpus
@@ -273,6 +313,7 @@ def main():
         },
         "blend_kernel": "pallas" if use_pallas_blend() else "einsum",
         **({"surgical_stages": surgical_stages} if surgical_stages else {}),
+        **({"kernel_mfu": kernel_mfu} if kernel_mfu else {}),
         "batch": BATCH,
     }))
 

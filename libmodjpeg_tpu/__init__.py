@@ -121,6 +121,31 @@ def compose(img: "CoefImage", dropon: "Dropon", align: int = 0,
     return _impl(img, dropon, align, offset_x, offset_y)
 
 
+_WATERMARK_CACHE: dict = {}   # (dropon fp, geometry, placement) -> composer
+_WATERMARK_CACHE_MAX = 16
+
+
+def _dropon_fingerprint(d) -> str:
+    """Content hash of a dropon, memoized on the instance (dropons are
+    immutable after ingestion)."""
+    fp = getattr(d, "_fingerprint", None)
+    if fp is None:
+        import hashlib
+
+        import numpy as _np
+
+        h = hashlib.sha1()
+        h.update(_np.ascontiguousarray(d.image).tobytes())
+        h.update(_np.ascontiguousarray(d.alpha).tobytes())
+        h.update(f"{d.colorspace}/{d.blend}".encode())
+        fp = h.hexdigest()
+        try:
+            d._fingerprint = fp
+        except AttributeError:
+            pass   # slotted/frozen instance: just recompute next time
+    return fp
+
+
 def watermark(data: bytes, dropon: "Dropon", align: int = 0,
               offset_x: int = 0, offset_y: int = 0,
               surgical=None) -> bytes:
@@ -130,15 +155,28 @@ def watermark(data: bytes, dropon: "Dropon", align: int = 0,
     surgical splice path (surgical.py): only the restart segments the overlay
     footprint touches are entropy-coded, the rest of the bitstream is copied
     verbatim — output coefficients identical to compose()+write_jpeg().
-    ``surgical=False`` forces the full pipeline.  For fleets of
-    same-geometry images, parallel.BatchComposer.watermark_stream amortizes
-    the dropon compilation and pipelines the stages.
+    ``surgical=False`` forces the full pipeline.
+
+    The compiled dropon (and its jitted compose program) is cached keyed by
+    (dropon content, image geometry+quant tables, placement), so repeated
+    calls with the same logo over same-shaped images skip dropon compilation
+    and XLA recompilation entirely.  For large fleets, prefer
+    parallel.BatchComposer.watermark_stream, which also pipelines the
+    decode/compose/encode stages and batches the device round trips.
     """
     from . import codec
+    from .corpus import _geometry_key
     from .parallel.batch import BatchComposer
 
     template = codec.decode(data)
-    bc = BatchComposer(template, dropon, align, offset_x, offset_y)
+    key = (_dropon_fingerprint(dropon), _geometry_key(template),
+           align, offset_x, offset_y)
+    bc = _WATERMARK_CACHE.get(key)
+    if bc is None:
+        bc = BatchComposer(template, dropon, align, offset_x, offset_y)
+        while len(_WATERMARK_CACHE) >= _WATERMARK_CACHE_MAX:
+            _WATERMARK_CACHE.pop(next(iter(_WATERMARK_CACHE)))
+        _WATERMARK_CACHE[key] = bc
     if bc.noop:
         return codec.encode(template)
     return next(iter(bc.watermark_stream(iter([data]), batch=1,

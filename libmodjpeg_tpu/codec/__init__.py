@@ -410,6 +410,8 @@ def encode(
                  else pack_preset_tables(preset_tables))
         rc = lib.mjt_encode_ptrs_tables(*common, pblob, len(pblob), *tail)
     elif scan_script is not None:
+        if len(scan_script) == 0:
+            raise ValueError("scan_script must contain at least one scan")
         entries = []
         for comps, ss, se, ah, al in scan_script:
             comps = list(comps)

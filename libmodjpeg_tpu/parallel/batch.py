@@ -41,31 +41,79 @@ def _compose_batch_component(grids: jax.Array, dropon_blocks: jax.Array,
     return grids.at[:, row0:row0 + h, col0:col0 + w].set(out)
 
 
-@functools.partial(jax.jit, static_argnames=("shapes",))
-def _compose_regions_packed(flat, dropons, alphas, quants, shapes):
-    """Compose all components' region batches in one traced computation,
-    packed into a single flat int16 buffer (ONE host->device and ONE
-    device->host transfer per batch — the tunnel/PCIe round trip, not the
-    math, is the hot path's cost on small overlays).
+@functools.lru_cache(maxsize=32)
+def _packed_compose_fn(meta, mesh):
+    """Build the jitted packed-compose callable for one footprint geometry.
 
-    flat: [sum(n*h*w*64)] int16; dropons/alphas: tuples of [h_c, w_c, 8, 8]
-    float32 (device-resident); quants: tuple of PER-FILE [n, 8, 8] int32
-    stacks (each file dequantizes/requantizes with its own tables, so mixed
-    corpora compose correctly); shapes: static tuple of (n, h_c, w_c).
+    meta: static per-component tuple of n_blocks (= h_c * w_c); mesh: a
+    hashable 1-D-"batch" Mesh (shards the packed batch over local chips) or
+    None (single device).  The callable signature is
+
+      fn(flat[n, per_file] i16, qstack[n, ncomps*64] i32, gens, dcs)
+        -> [n, per_file] i16
+
+    where per component c, ``gens[c] = (idx[g] i32, dropon[g,64] f32,
+    alpha[g,64] f32)`` are the GENERAL mask blocks (alpha varies inside the
+    block: full 16-GEMM blend) and ``dcs[c] = (idx[d] i32, dropon[d,64] f32,
+    gain[d] f32)`` the DC-ONLY mask blocks (constant alpha: the mask
+    operator is w00*(S_0 (x) S_0) = 4*w00*I, so the blend collapses to the
+    scalar mix x1 + 4*w00*(x0-x1) — no GEMMs; bit-identical to the general
+    kernel because scaling by the power of two is exact).  Blocks in
+    neither set have an all-zero mask (transparent padding) and pass
+    through untouched.  Every row (file) composes with its OWN quant
+    tables, so mixed corpora are correct.
+
+    Batch-major row packing means ONE host->device and ONE device->host
+    transfer per batch, and rows shard cleanly over the mesh's "batch" axis
+    with zero collectives (the compose is block-local).
     """
-    outs, off = [], 0
-    for (n, h, w), dropon, alpha, quant in zip(shapes, dropons, alphas,
-                                               quants):
-        sz = n * h * w * 64
-        region = jax.lax.slice(flat, (off,), (off + sz,)) \
-            .reshape(n, h, w, 8, 8)
-        off += sz
-        qi = quant.astype(jnp.int32)[:, None, None]     # [n, 1, 1, 8, 8]
-        d = jnp.broadcast_to(dropon, (n, h, w, 8, 8))
-        a = jnp.broadcast_to(alpha, (n, h, w, 8, 8))
-        out = compose_region_auto(region, d, a, qi)
-        outs.append(out.reshape(-1))
-    return jnp.concatenate(outs)
+    def fn(flat, qstack, gens, dcs):
+        n = flat.shape[0]
+        outs, off = [], 0
+        for c, hw in enumerate(meta):
+            sz = hw * 64
+            region = jax.lax.slice(flat, (0, off), (n, off + sz)) \
+                .reshape(n, hw, 64)
+            off += sz
+            q = jax.lax.slice(qstack, (0, c * 64), (n, (c + 1) * 64))
+            out = region
+            gidx, gdrop, galpha = gens[c]
+            g = gidx.shape[0]
+            if g:
+                rg = jnp.take(region, gidx, axis=1)          # [n, g, 64]
+                qg = jnp.broadcast_to(q[:, None, :], (n, g, 64))
+                dg = jnp.broadcast_to(gdrop[None], (n, g, 64))
+                ag = jnp.broadcast_to(galpha[None], (n, g, 64))
+                y = compose_region_auto(rg.reshape(n * g, 8, 8),
+                                        dg.reshape(n * g, 8, 8),
+                                        ag.reshape(n * g, 8, 8),
+                                        qg.reshape(n * g, 8, 8))
+                out = out.at[:, gidx].set(y.reshape(n, g, 64))
+            didx, ddrop, dgain = dcs[c]
+            d = didx.shape[0]
+            if d:
+                rd = jnp.take(region, didx, axis=1).astype(jnp.int32)
+                qd = jnp.broadcast_to(q[:, None, :], (n, d, 64)) \
+                    .astype(jnp.int32)
+                x1 = rd.astype(jnp.float32) * qd.astype(jnp.float32)
+                y = x1 + dgain[None, :, None] * (ddrop[None] - x1)
+                # same integer epilogue (and float op order) as the general
+                # kernel: corr = trunc(y - x1), C-truncating requantize
+                corr = jnp.trunc(y - x1).astype(jnp.int32)
+                vq = rd * qd + corr
+                od = jnp.sign(vq) * (jnp.abs(vq) // qd)
+                od = jnp.clip(od, -32768, 32767).astype(jnp.int16)
+                out = out.at[:, didx].set(od)
+            outs.append(out.reshape(n, sz))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+    if mesh is None:
+        return jax.jit(fn)
+    fn_sharded = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("batch"), P("batch"), P(), P()),
+        out_specs=P("batch"), check_vma=False)
+    return jax.jit(fn_sharded)
 
 
 class BatchComposer:
@@ -96,6 +144,49 @@ class BatchComposer:
         self._dev_alpha = [jnp.asarray(a) for a in self.cd.alpha_weights]
         self._dev_quant = [jnp.asarray(template.quant_table_for(c))
                            for c in range(len(self.cd.image_blocks))]
+        # Packed streaming path: shard over local chips unless a mesh was
+        # given explicitly (its "batch" axis is used either way).
+        from .mesh import stream_mesh
+
+        self._stream_mesh = mesh if mesh is not None else stream_mesh()
+        self._comp_shapes = [b.shape[:2] for b in self.cd.image_blocks]
+        self._meta = tuple(h * w for h, w in self._comp_shapes)
+        # Static per-block mask classification (the compiled alpha weights
+        # are constants of this composer).  Generalizes the w==0 early-out
+        # of the reference's scalar kernel (convolve.c:32-34) per block:
+        #   all-zero mask  -> untouched (transparent padding)
+        #   DC-only mask   -> scalar mix, no GEMMs (constant-alpha interior)
+        #   otherwise      -> full blend kernel (mask edge blocks)
+        # MJT_NO_MASK_CLASSES forces everything down the general path.
+        import os as _os
+
+        classify = not _os.environ.get("MJT_NO_MASK_CLASSES")
+        gens, dcs = [], []
+        self.mask_block_classes = []   # per component (n_zero, n_dc, n_gen)
+        for blocks, weights in zip(self.cd.image_blocks,
+                                   self.cd.alpha_weights):
+            h, w = weights.shape[:2]
+            wf = np.ascontiguousarray(weights, np.float32).reshape(h * w, 64)
+            df = np.ascontiguousarray(blocks, np.float32).reshape(h * w, 64)
+            nz = wf != 0.0
+            if classify:
+                zero = ~nz.any(axis=1)
+                dc = nz[:, 0] & ~nz[:, 1:].any(axis=1)
+                gen = ~zero & ~dc
+            else:
+                gen = np.ones(h * w, bool)
+                dc = np.zeros(h * w, bool)
+                zero = dc
+            gi = np.nonzero(gen)[0].astype(np.int32)
+            di = np.nonzero(dc)[0].astype(np.int32)
+            self.mask_block_classes.append(
+                (int(zero.sum()), int(di.size), int(gi.size)))
+            gens.append((jnp.asarray(gi), jnp.asarray(df[gi]),
+                         jnp.asarray(wf[gi])))
+            dcs.append((jnp.asarray(di), jnp.asarray(df[di]),
+                        jnp.asarray(4.0 * wf[di, 0])))
+        self._gens = tuple(gens)
+        self._dcs = tuple(dcs)
 
     def compose_arrays(self, comp_batches: Sequence[jax.Array]) -> list:
         """comp_batches[c]: [N, H, W, 8, 8] int16 device arrays (one per
@@ -136,33 +227,43 @@ class BatchComposer:
         """Dispatch the packed compose for per-file footprint regions.
 
         regions[i][c]: [h_c, w_c, 8, 8] int16 for file i, component c;
-        quants[i][c]: that file's [8, 8] quant table.  Returns
-        (device_out, shapes) — one transfer each way for the whole batch.
+        quants[i][c]: that file's [8, 8] quant table.  Returns a pending
+        (device_out, n) — one transfer each way for the whole batch; rows
+        (files) shard over the stream mesh's local chips when present.
         """
         ncomps = len(self.cd.image_blocks)
         n = len(regions)
-        parts, qstacks, shapes = [], [], []
-        for c in range(ncomps):
-            h, w = self.cd.image_blocks[c].shape[:2]
-            shapes.append((n, h, w))
-            parts.append(np.stack([regions[i][c] for i in range(n)])
-                         .reshape(-1))
-            qstacks.append(np.stack(
-                [np.asarray(quants[i][c], np.int32) for i in range(n)]))
-        flat = np.concatenate(parts)
-        out = _compose_regions_packed(
-            flat, tuple(self._dev_dropon), tuple(self._dev_alpha),
-            tuple(qstacks), tuple(shapes))
-        return (out, shapes)
+        parts = [np.stack([np.asarray(regions[i][c], np.int16)
+                           for i in range(n)]).reshape(n, -1)
+                 for c in range(ncomps)]
+        flat = parts[0] if ncomps == 1 else np.concatenate(parts, axis=1)
+        qstack = np.concatenate(
+            [np.stack([np.asarray(quants[i][c], np.int32).reshape(64)
+                       for i in range(n)]) for c in range(ncomps)], axis=1)
+        mesh = self._stream_mesh
+        if mesh is not None:
+            shards = mesh.shape["batch"]
+            n_pad = -(-n // shards) * shards
+            if n_pad != n:
+                flat = np.concatenate(
+                    [flat, np.zeros((n_pad - n, flat.shape[1]), np.int16)])
+                # q=1 keeps the padded rows' requant division well-defined
+                qstack = np.concatenate(
+                    [qstack,
+                     np.ones((n_pad - n, qstack.shape[1]), np.int32)])
+        fn = _packed_compose_fn(self._meta, mesh)
+        out = fn(flat, qstack, self._gens, self._dcs)
+        self.last_dispatch_devices = len(out.sharding.device_set)
+        return (out, n)
 
     def _unpack_regions(self, pending) -> list:
         """Fetch a _pack_regions result: parts[c][i] = [h, w, 8, 8]."""
-        out, shapes = pending
-        flat = np.asarray(out)
+        out, n = pending
+        flat = np.asarray(out)[:n]
         off, parts = 0, []
-        for (n, h, w) in shapes:
-            sz = n * h * w * 64
-            parts.append(flat[off:off + sz].reshape(n, h, w, 8, 8))
+        for (h, w) in self._comp_shapes:
+            sz = h * w * 64
+            parts.append(flat[:, off:off + sz].reshape(n, h, w, 8, 8))
             off += sz
         return parts
 
@@ -258,9 +359,12 @@ class BatchComposer:
             import os as _os
             pool = ThreadPoolExecutor(max_workers=max(2, _os.cpu_count() or 2))
         # two hand-off queues: producer -> fetcher (pending device results)
-        # and fetcher -> consumer (host arrays ready to scatter+encode)
-        q: _queue.Queue = _queue.Queue(maxsize=max(1, lookahead))
-        q2: _queue.Queue = _queue.Queue(maxsize=max(1, lookahead))
+        # and fetcher -> consumer (host arrays ready to scatter+encode).
+        # The ``lookahead`` budget is split between them so total in-flight
+        # decoded batches stay ~lookahead (+1 per stage in hand), not 2x.
+        q: _queue.Queue = _queue.Queue(
+            maxsize=max(1, lookahead - lookahead // 2))
+        q2: _queue.Queue = _queue.Queue(maxsize=max(1, lookahead // 2))
         stop = object()
         closed = threading.Event()
 

@@ -31,6 +31,32 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, ("batch", "grid"))
 
 
+_STREAM_MESH: list = []  # memo cell: [Optional[Mesh]] once resolved
+
+
+def stream_mesh() -> Optional[Mesh]:
+    """1-D "batch" mesh over this process's local devices for the streaming
+    compose path, or None when only one device is addressable.
+
+    The shipped hot path (BatchComposer packed compose) shards each packed
+    batch over this mesh so a multi-chip host drives ALL its local chips
+    (BASELINE config-3: "sharded across chips"), not chip 0.  Config hook:
+    MJT_STREAM_CHIPS=k caps the mesh to k devices (0/1 disables sharding).
+    """
+    if _STREAM_MESH:
+        return _STREAM_MESH[0]
+    import os
+
+    devices = list(jax.local_devices())
+    cap = os.environ.get("MJT_STREAM_CHIPS")
+    if cap is not None:
+        devices = devices[:max(0, int(cap))]
+    mesh = (Mesh(np.asarray(devices), ("batch",))
+            if len(devices) > 1 else None)
+    _STREAM_MESH.append(mesh)
+    return mesh
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """[N, Hb, Wb, 8, 8] image batches: shard the leading batch axis."""
     return NamedSharding(mesh, P("batch"))
