@@ -254,9 +254,11 @@ struct BitReader {
   }
 };
 
-// EXTEND per T.81 F.2.2.1
+// EXTEND per T.81 F.2.2.1.  Branchless: the sign of (v - 2^(s-1)) selects
+// the -(2^s - 1) offset, so the data-dependent 50/50 branch (DC sign) never
+// reaches the predictor.
 static inline int huff_extend(int v, int s) {
-  return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+  return v + (((v - (1 << (s - 1))) >> 31) & (int)((~0u << s) + 1));
 }
 
 // ---------------------------------------------------------------------------

@@ -93,3 +93,31 @@ def test_twopass_12bit_extended():
     img.precision = 12
     data = codec.encode(img)
     _assert_same(data)
+
+
+def test_twopass_fuzz_shapes():
+    # Randomized sweep over quality (shifts the code-length distribution
+    # between the fused fast path and the generic long-code path), optimized
+    # tables (skewed lengths), subsampling, and odd dimensions.  Each config
+    # must be bit-identical between the serial and two-pass decoders.
+    from libmodjpeg_tpu.encode_pixels import from_pixels
+
+    rng = np.random.default_rng(77)
+    configs = [
+        dict(quality=30, subsampling="420"),
+        dict(quality=55, subsampling="422"),
+        dict(quality=75, subsampling="444"),
+        dict(quality=92, subsampling="420"),
+        dict(quality=97, subsampling="444"),
+    ]
+    for i, cfg in enumerate(configs):
+        w = 1184 + 16 * i + 3   # odd sizes: partial right/bottom MCUs
+        h = 688 + 8 * i + 5
+        pix = _noisy_pixels(rng, w, h)
+        img = from_pixels(pix, **cfg)
+        from libmodjpeg_tpu import constants as C
+        for options in (0, C.OPTION_OPTIMIZE):
+            data = codec.encode(img, options=options)
+            if len(data) < (256 << 10):  # stay above the two-pass gate
+                continue
+            _assert_same(data)
