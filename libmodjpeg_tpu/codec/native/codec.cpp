@@ -35,6 +35,9 @@
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
+#if defined(__BMI2__)
+#include <immintrin.h>
+#endif
 
 namespace mjt {
 
@@ -254,6 +257,17 @@ struct BitReader {
   }
 };
 
+// Position of the n-th (0-based) set bit of `m`, or 64 when absent.
+static inline int nth_set_pos(uint64_t m, int n) {
+#if defined(__BMI2__)
+  uint64_t d = _pdep_u64(1ull << n, m);
+  return d ? __builtin_ctzll(d) : 64;
+#else
+  while (n-- > 0) m &= m - 1;
+  return m ? __builtin_ctzll(m) : 64;
+#endif
+}
+
 // EXTEND per T.81 F.2.2.1.  Branchless: the sign of (v - 2^(s-1)) selects
 // the -(2^s - 1) offset, so the data-dependent 50/50 branch (DC sign) never
 // reaches the predictor.
@@ -319,11 +333,18 @@ static inline uint64_t zigzag_nonzero_mask(const int16_t* blk) {
 // Huffman decode tables
 // ---------------------------------------------------------------------------
 
+// Primary flat lookup width: one L1 load resolves any code up to this many
+// bits (99%+ of symbols even for optimized tables, by the Huffman property
+// that length-l codes occur with frequency ~2^-l).  The 8 KB table is
+// filled by canonical range-fill (~4 us), so it is built unconditionally.
+static const int kHuffFlatBits = 12;
+
 struct HuffDecoder {
   uint16_t lookup[256];   // (nbits<<8)|symbol; 0 = slow path
   int32_t maxcode[18];
   int32_t valoffset[18];
   std::vector<uint8_t> symbols;
+  std::vector<uint16_t> flat;  // 1<<kHuffFlatBits entries, same encoding
 
   void build(const HuffTable& t) {
     symbols = t.symbols;
@@ -345,38 +366,46 @@ struct HuffDecoder {
     }
     maxcode[17] = 0x7FFFFFFF;
     std::memset(lookup, 0, sizeof(lookup));
+    flat.assign((size_t)1 << kHuffFlatBits, 0);
     int idx = 0;
     code = 0;
-    for (int l = 1; l <= 8; ++l) {
+    for (int l = 1; l <= 16; ++l) {
       for (int i = 0; i < t.counts[l]; ++i, ++idx, ++code) {
-        int shift = 8 - l;
-        int lo = code << shift;
-        for (int f = 0; f < (1 << shift); ++f)
-          lookup[lo | f] = (uint16_t)((l << 8) | symbols[idx]);
+        uint16_t e = (uint16_t)((l << 8) | symbols[idx]);
+        if (l <= 8) {
+          int shift = 8 - l;
+          int lo = code << shift;
+          for (int f = 0; f < (1 << shift); ++f) lookup[lo | f] = e;
+        }
+        if (l <= kHuffFlatBits) {
+          int shift = kHuffFlatBits - l;
+          int lo = code << shift;
+          for (int f = 0; f < (1 << shift); ++f) flat[lo | f] = e;
+        }
       }
       code <<= 1;
     }
   }
 
   inline int decode(BitReader& br) const {
-    uint32_t look = br.peek(8);
-    uint16_t entry = lookup[look];
+    uint32_t look = br.peek(kHuffFlatBits);
+    uint16_t entry = flat[look];
     if (entry != 0) {
       br.consume(entry >> 8);
       return entry & 0xFF;
     }
-    return decode_slow(br, look);
+    return decode_slow(br, look >> (kHuffFlatBits - 8));
   }
 
   // fast variant: caller has already ensured >= 26 bits are buffered
   inline int decode_nc(BitReader& br) const {
-    uint32_t look = br.peek_nc(8);
-    uint16_t entry = lookup[look];
+    uint32_t look = br.peek_nc(kHuffFlatBits);
+    uint16_t entry = flat[look];
     if (entry != 0) {
       br.nbits -= entry >> 8;
       return entry & 0xFF;
     }
-    return decode_slow(br, look);
+    return decode_slow(br, look >> (kHuffFlatBits - 8));
   }
 
   int decode_slow(BitReader& br, uint32_t look) const {
