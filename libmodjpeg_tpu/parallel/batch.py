@@ -41,8 +41,46 @@ def _compose_batch_component(grids: jax.Array, dropon_blocks: jax.Array,
     return grids.at[:, row0:row0 + h, col0:col0 + w].set(out)
 
 
+def _wirepack(flat: np.ndarray):
+    """Exact int8+exceptions packing of the host->device region payload.
+
+    The tunnel/PCIe UPLINK is the packed-compose round trip's binding cost
+    (uploads run ~3x slower than downloads on the tunneled chip), and
+    quantized DCT coefficients are tiny: <0.2% of real footprint values
+    fall outside int8.  So the wire carries ``lo`` = clip(v, -128, 127) as
+    int8 plus a fixed-capacity per-row exception list; the device restores
+    exact int16 with one scatter (pad slots index past the row end and are
+    dropped).  Capacity quantizes to
+    power-of-two buckets so jit re-specializes at most a handful of times.
+    Returns (lo, eidx, evals) or None when the payload is exception-heavy
+    (fall back to the raw int16 wire).
+    """
+    n, sz = flat.shape
+    lo = np.clip(flat, -128, 127).astype(np.int8)
+    mask = flat != lo
+    counts = mask.sum(axis=1)
+    mx = int(counts.max()) if n else 0
+    if mx * 4 > sz:  # degenerate content: packing would not pay
+        return None
+    cap = 8
+    while cap < mx:
+        cap *= 2
+    # pad slots point one past the row end: jax wraps NEGATIVE indices
+    # (numpy semantics), so only a too-HIGH index is dropped by mode="drop"
+    eidx = np.full((n, cap), sz, np.int32)
+    evals = np.zeros((n, cap), np.int16)
+    rows, cols = np.nonzero(mask)
+    if rows.size:
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(rows.size) - starts[rows]
+        eidx[rows, slot] = cols.astype(np.int32)
+        evals[rows, slot] = flat[rows, cols]
+    return lo, eidx, evals
+
+
 @functools.lru_cache(maxsize=32)
-def _packed_compose_fn(meta, mesh):
+def _packed_compose_fn(meta, mesh, packed):
     """Build the jitted packed-compose callable for one footprint geometry.
 
     meta: static per-component tuple of n_blocks (= h_c * w_c); mesh: a
@@ -67,7 +105,7 @@ def _packed_compose_fn(meta, mesh):
     transfer per batch, and rows shard cleanly over the mesh's "batch" axis
     with zero collectives (the compose is block-local).
     """
-    def fn(flat, qstack, gens, dcs):
+    def body(flat, qstack, gens, dcs):
         n = flat.shape[0]
         outs, off = [], 0
         for c, hw in enumerate(meta):
@@ -78,19 +116,19 @@ def _packed_compose_fn(meta, mesh):
             q = jax.lax.slice(qstack, (0, c * 64), (n, (c + 1) * 64))
             out = region
             gidx, gdrop, galpha = gens[c]
-            g = gidx.shape[0]
+            didx, ddrop, dgain = dcs[c]
+            g, d = gidx.shape[0], didx.shape[0]
+            yg = yd = None
             if g:
                 rg = jnp.take(region, gidx, axis=1)          # [n, g, 64]
                 qg = jnp.broadcast_to(q[:, None, :], (n, g, 64))
                 dg = jnp.broadcast_to(gdrop[None], (n, g, 64))
                 ag = jnp.broadcast_to(galpha[None], (n, g, 64))
-                y = compose_region_auto(rg.reshape(n * g, 8, 8),
-                                        dg.reshape(n * g, 8, 8),
-                                        ag.reshape(n * g, 8, 8),
-                                        qg.reshape(n * g, 8, 8))
-                out = out.at[:, gidx].set(y.reshape(n, g, 64))
-            didx, ddrop, dgain = dcs[c]
-            d = didx.shape[0]
+                yg = compose_region_auto(rg.reshape(n * g, 8, 8),
+                                         dg.reshape(n * g, 8, 8),
+                                         ag.reshape(n * g, 8, 8),
+                                         qg.reshape(n * g, 8, 8)) \
+                    .reshape(n, g, 64)
             if d:
                 rd = jnp.take(region, didx, axis=1).astype(jnp.int32)
                 qd = jnp.broadcast_to(q[:, None, :], (n, d, 64)) \
@@ -102,17 +140,33 @@ def _packed_compose_fn(meta, mesh):
                 corr = jnp.trunc(y - x1).astype(jnp.int32)
                 vq = rd * qd + corr
                 od = jnp.sign(vq) * (jnp.abs(vq) // qd)
-                od = jnp.clip(od, -32768, 32767).astype(jnp.int16)
-                out = out.at[:, didx].set(od)
+                yd = jnp.clip(od, -32768, 32767).astype(jnp.int16)
+            # one combined scatter covers both classes (disjoint index sets)
+            if g and d:
+                out = out.at[:, jnp.concatenate([gidx, didx])].set(
+                    jnp.concatenate([yg, yd], axis=1))
+            elif g:
+                out = out.at[:, gidx].set(yg)
+            elif d:
+                out = out.at[:, didx].set(yd)
             outs.append(out.reshape(n, sz))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
+    if packed:
+        def fn(lo, eidx, evals, qstack, gens, dcs):
+            # restore exact int16 from the int8 wire + exception scatter
+            n = lo.shape[0]
+            flat = lo.astype(jnp.int16).at[
+                jnp.arange(n)[:, None], eidx].set(evals, mode="drop")
+            return body(flat, qstack, gens, dcs)
+        in_specs = (P("batch"), P("batch"), P("batch"), P("batch"), P(), P())
+    else:
+        fn = body
+        in_specs = (P("batch"), P("batch"), P(), P())
     if mesh is None:
         return jax.jit(fn)
-    fn_sharded = jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=(P("batch"), P("batch"), P(), P()),
-        out_specs=P("batch"), check_vma=False)
+    fn_sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                               out_specs=P("batch"), check_vma=False)
     return jax.jit(fn_sharded)
 
 
@@ -160,27 +214,47 @@ class BatchComposer:
         # MJT_NO_MASK_CLASSES forces everything down the general path.
         import os as _os
 
-        classify = not _os.environ.get("MJT_NO_MASK_CLASSES")
-        gens, dcs = [], []
-        self.mask_block_classes = []   # per component (n_zero, n_dc, n_gen)
+        # First pass: classify every block (mask_block_classes always
+        # reports the TRUE classification, independent of routing).
+        cls = []
         for blocks, weights in zip(self.cd.image_blocks,
                                    self.cd.alpha_weights):
             h, w = weights.shape[:2]
             wf = np.ascontiguousarray(weights, np.float32).reshape(h * w, 64)
             df = np.ascontiguousarray(blocks, np.float32).reshape(h * w, 64)
             nz = wf != 0.0
+            zero = ~nz.any(axis=1)
+            dc = nz[:, 0] & ~nz[:, 1:].any(axis=1)
+            cls.append((wf, df, zero, dc))
+        self.mask_block_classes = [
+            (int(z.sum()), int(d.sum()), int((~z & ~d).sum()))
+            for _, _, z, d in cls]
+        # Routing gate: the classified path replaces one contiguous compose
+        # with a gather + scatter, which only pays off when most blocks skip
+        # the 16-GEMM blend (crisp logo masks: constant-alpha interior, thin
+        # general edge).  Soft/noisy masks where general blocks dominate
+        # keep the straight full-region kernel.  MJT_MASK_CLASSES=1 forces
+        # classified routing, =0 (or MJT_NO_MASK_CLASSES) forces general.
+        force = _os.environ.get("MJT_MASK_CLASSES")
+        if _os.environ.get("MJT_NO_MASK_CLASSES"):
+            force = "0"
+        nblocks = sum(wf.shape[0] for wf, _, _, _ in cls)
+        nskip = sum(int(z.sum()) + int(d.sum()) for _, _, z, d in cls)
+        if force is not None:
+            classify = force != "0"
+        else:
+            classify = nblocks > 0 and nskip * 2 >= nblocks
+        self.mask_routing = "classified" if classify else "general"
+        gens, dcs = [], []
+        for wf, df, zero, dc in cls:
+            n = wf.shape[0]
             if classify:
-                zero = ~nz.any(axis=1)
-                dc = nz[:, 0] & ~nz[:, 1:].any(axis=1)
                 gen = ~zero & ~dc
             else:
-                gen = np.ones(h * w, bool)
-                dc = np.zeros(h * w, bool)
-                zero = dc
+                gen = np.ones(n, bool)
+                dc = np.zeros(n, bool)
             gi = np.nonzero(gen)[0].astype(np.int32)
             di = np.nonzero(dc)[0].astype(np.int32)
-            self.mask_block_classes.append(
-                (int(zero.sum()), int(di.size), int(gi.size)))
             gens.append((jnp.asarray(gi), jnp.asarray(df[gi]),
                          jnp.asarray(wf[gi])))
             dcs.append((jnp.asarray(di), jnp.asarray(df[di]),
@@ -251,8 +325,18 @@ class BatchComposer:
                 qstack = np.concatenate(
                     [qstack,
                      np.ones((n_pad - n, qstack.shape[1]), np.int32)])
-        fn = _packed_compose_fn(self._meta, mesh)
-        out = fn(flat, qstack, self._gens, self._dcs)
+        import os as _os
+
+        packed = None
+        if not _os.environ.get("MJT_NO_WIREPACK"):
+            packed = _wirepack(flat)
+        if packed is not None:
+            lo, eidx, evals = packed
+            fn = _packed_compose_fn(self._meta, mesh, True)
+            out = fn(lo, eidx, evals, qstack, self._gens, self._dcs)
+        else:
+            fn = _packed_compose_fn(self._meta, mesh, False)
+            out = fn(flat, qstack, self._gens, self._dcs)
         self.last_dispatch_devices = len(out.sharding.device_set)
         return (out, n)
 

@@ -74,13 +74,14 @@ def test_mask_classification_found_on_logo(base, logo):
 def test_classified_compose_bit_identical(base, logo, datas, monkeypatch):
     """zero/DC-only routing must be bit-identical to the general kernel."""
     align = mj.ALIGN_TOP | mj.ALIGN_LEFT
+    monkeypatch.setenv("MJT_MASK_CLASSES", "1")   # force classified routing
     bc = BatchComposer(base, logo, align, 3, 5)
+    assert bc.mask_routing == "classified"
     outs = list(bc.watermark_stream(iter(datas), batch=5))
 
-    monkeypatch.setenv("MJT_NO_MASK_CLASSES", "1")
+    monkeypatch.setenv("MJT_MASK_CLASSES", "0")
     bc_gen = BatchComposer(base, logo, align, 3, 5)
-    tot = [sum(x) for x in zip(*bc_gen.mask_block_classes)]
-    assert tot[0] == 0 and tot[1] == 0   # everything forced general
+    assert bc_gen.mask_routing == "general"
     outs_gen = list(bc_gen.watermark_stream(iter(datas), batch=5))
     assert outs == outs_gen
 
@@ -121,7 +122,41 @@ def test_uniform_blend_dropon_all_dc(base):
     bc = BatchComposer(base, d, mj.ALIGN_TOP | mj.ALIGN_LEFT, 16, 16)
     n_zero, n_dc, n_gen = bc.mask_block_classes[0]
     assert n_gen == 0 and n_dc > 0
+    assert bc.mask_routing == "classified"   # auto gate engages
     data = open(f"{IMAGES}/image.jpg", "rb").read()
     out = list(bc.watermark_stream(iter([data]), batch=1))[0]
     img2 = codec.decode(out)
     assert img2.width == base.width
+
+
+def test_wirepack_roundtrip_exact(base, logo, datas, monkeypatch):
+    """The int8+exceptions uplink packing must be byte-exact end to end,
+    including coefficients far outside int8 (forced via a high-contrast
+    synthetic file), and must fall back to the raw wire when disabled."""
+    import libmodjpeg_tpu.parallel.batch as pb
+
+    align = mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT
+    bc = BatchComposer(base, logo, align, -5, -3)
+    outs = list(bc.watermark_stream(iter(datas), batch=4))
+    monkeypatch.setenv("MJT_NO_WIREPACK", "1")
+    bc2 = BatchComposer(base, logo, align, -5, -3)
+    outs_raw = list(bc2.watermark_stream(iter(datas), batch=4))
+    assert outs == outs_raw
+
+    # unit: pack/unpack identity on adversarial values
+    rng = np.random.RandomState(3)
+    flat = rng.randint(-128, 128, (5, 256), np.int16)
+    flat[0, 7] = -2047
+    flat[0, 200] = 2047
+    flat[3, :64] = 1000   # exception-dense row drives the capacity bucket
+    lo, eidx, evals = pb._wirepack(flat)
+    import jax.numpy as jnp
+
+    n = lo.shape[0]
+    rec = jnp.asarray(lo).astype(jnp.int16).at[
+        jnp.arange(n)[:, None], jnp.asarray(eidx)].set(
+        jnp.asarray(evals), mode="drop")
+    np.testing.assert_array_equal(np.asarray(rec), flat)
+
+    # degenerate: exception-heavy payload refuses to pack
+    assert pb._wirepack(np.full((2, 64), 999, np.int16)) is None
