@@ -442,10 +442,15 @@ class BatchComposer:
         if own_pool:
             import os as _os
             pool = ThreadPoolExecutor(max_workers=max(2, _os.cpu_count() or 2))
-        # two hand-off queues: producer -> fetcher (pending device results)
-        # and fetcher -> consumer (host arrays ready to scatter+encode).
-        # The ``lookahead`` budget is split between them so total in-flight
-        # decoded batches stay ~lookahead (+1 per stage in hand), not 2x.
+        # three hand-off queues: producer (decode) -> dispatcher (pack +
+        # host->device) -> fetcher (device->host) -> consumer (scatter +
+        # encode).  Decode, upload, download, and encode each own a thread,
+        # so a batch's upload overlaps the next batch's decode AND the
+        # previous batch's download/encode — without the dispatcher stage
+        # the producer serialized decode+pack+upload and became the wall.
+        # Each queue holds 1 (plus one in each stage's hands): total
+        # in-flight decoded batches stays ~lookahead+2.
+        q0: _queue.Queue = _queue.Queue(maxsize=1)
         q: _queue.Queue = _queue.Queue(
             maxsize=max(1, lookahead - lookahead // 2))
         q2: _queue.Queue = _queue.Queue(maxsize=max(1, lookahead // 2))
@@ -484,9 +489,9 @@ class BatchComposer:
         t_start = time.perf_counter()
         origins = None if self.noop else self._region_origins()
 
-        def prep_batch(chunk):
+        def decode_batch(chunk):
             """Decode a batch: surgical windows where eligible, full decode
-            otherwise; one packed device dispatch covers both."""
+            otherwise."""
             n = len(chunk)
             payloads = [None] * n
             if plan is not None:
@@ -510,8 +515,14 @@ class BatchComposer:
             t0 = time.perf_counter()
             prepped = list(pool.map(prep_one, range(n)))
             stats["decode_s"] += time.perf_counter() - t0
+            return payloads, prepped
+
+        def dispatch_batch(payloads, prepped):
+            """Gather footprint regions and run the packed device dispatch
+            (one host->device transfer) — both paths share it."""
             if self.noop:
-                return payloads, prepped, None
+                return None
+            n = len(prepped)
             regions, quants = [], []
             for i in range(n):
                 if payloads[i] is not None:
@@ -527,7 +538,7 @@ class BatchComposer:
             t0 = time.perf_counter()
             pending = self._pack_regions(regions, quants)
             stats["pack_dispatch_s"] += time.perf_counter() - t0
-            return payloads, prepped, pending
+            return pending
 
         def producer():
             try:
@@ -541,11 +552,30 @@ class BatchComposer:
                             break
                     if not chunk:
                         break
-                    payloads, prepped, pending = prep_batch(chunk)
+                    payloads, prepped = decode_batch(chunk)
+                    if not put_to(q0, (chunk, payloads, prepped)):
+                        return
+                put_to(q0, stop)
+            except BaseException as e:  # surface decode errors to the consumer
+                put_to(q0, e)
+
+        def dispatcher():
+            """Second stage: pack + host->device dispatch OFF the decode
+            thread, so batch i's upload overlaps batch i+1's decode."""
+            try:
+                while not closed.is_set():
+                    try:
+                        item = q0.get(timeout=0.2)
+                    except _queue.Empty:
+                        continue
+                    if item is stop or isinstance(item, BaseException):
+                        put(item)
+                        return
+                    chunk, payloads, prepped = item
+                    pending = dispatch_batch(payloads, prepped)
                     if not put((chunk, payloads, prepped, pending)):
                         return
-                put(stop)
-            except BaseException as e:  # surface decode errors to the consumer
+            except BaseException as e:
                 put(e)
 
         def fetcher():
@@ -575,6 +605,8 @@ class BatchComposer:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        td = threading.Thread(target=dispatcher, daemon=True)
+        td.start()
         tf = threading.Thread(target=fetcher, daemon=True)
         tf.start()
         try:
@@ -613,6 +645,7 @@ class BatchComposer:
             stats["wall_s"] = time.perf_counter() - t_start
             closed.set()
             t.join(timeout=2.0)
+            td.join(timeout=2.0)
             tf.join(timeout=2.0)
             if own_pool:
                 pool.shutdown(wait=False)
