@@ -250,9 +250,13 @@ def main():
             "touched_segments": f"{len(plan.segs)}/{plan.nsegs_file}",
         }
 
-    # on-chip fused-kernel MFU (scripts/kernel_bench.py methodology:
-    # device-chained fori_loop so the tunnel RTT is amortized out); TPU only
-    kernel_mfu = None
+    # On-chip fused-kernel roofline (scripts/kernel_bench.py methodology:
+    # device-chained fori_loop so the tunnel RTT is amortized out); TPU
+    # only.  The diagonalized 2-GEMM blend is BANDWIDTH-bound (2 useful
+    # f32 FLOPs per byte), so the honest on-chip figure is achieved bytes/s
+    # against an elementwise roofline measured in the same harness — an
+    # MXU-peak "MFU" would just restate the op's arithmetic intensity.
+    kernel_roofline = None
     if use_pallas_blend() and jax.devices()[0].platform != "cpu":
         import functools
 
@@ -260,8 +264,7 @@ def main():
 
         from libmodjpeg_tpu.ops.pallas_compose import compose_blocks_pallas
 
-        FLOPS_PER_BLOCK = 2 * 16 * 64 * 64
-        V5E_F32_HIGHEST_PEAK = 197e12 / 6   # 6 MXU passes per HIGHEST f32
+        BYTES_PER_BLOCK = (2 + 4 + 4 + 4 + 2) * 64  # i16 in/out, f32 d/m, i32 q
 
         @functools.partial(jax.jit, static_argnames=("r",))
         def chain_fused(region, x0, w, q, r):
@@ -270,9 +273,16 @@ def main():
                 return compose_blocks_pallas(xs, x0, w, q)
             return jax.lax.fori_loop(0, r, body, region).sum()
 
+        @functools.partial(jax.jit, static_argnames=("r",))
+        def chain_ew(x, x1, m, r):
+            # elementwise roofline probe: same traffic shape, no MXU
+            def body(i, a):
+                return x1 + (a - x1 + i * 1e-6) * m
+            return jax.lax.fori_loop(0, r, body, x).sum()
+
         nk, chain_r, reps = 131072, 10, 3
         x0k = jnp.asarray((rng.randn(nk, 64) * 300).astype(np.float32))
-        wk = jnp.asarray((rng.rand(nk, 64) * 0.02).astype(np.float32))
+        wk = jnp.asarray((rng.rand(nk, 64) * 0.9).astype(np.float32))
         regk = jnp.asarray(rng.randint(-900, 900, (nk, 64)).astype(np.int16))
         qk = jnp.asarray(rng.randint(1, 255, (nk, 64)).astype(np.int32))
         try:
@@ -281,10 +291,17 @@ def main():
             for _ in range(reps):
                 int(chain_fused(regk, x0k, wk, qk, chain_r))
             dtk = (time.perf_counter() - t0) / (reps * chain_r)
-            tf = FLOPS_PER_BLOCK * nk / dtk
-            kernel_mfu = {"tflops": round(tf / 1e12, 2),
-                          "mfu": round(tf / V5E_F32_HIGHEST_PEAK, 4),
-                          "n_blocks": nk}
+            float(chain_ew(x0k, wk, x0k, chain_r))         # warm + force
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                float(chain_ew(x0k, wk, x0k, chain_r))
+            dte = (time.perf_counter() - t0) / (reps * chain_r)
+            gbps = BYTES_PER_BLOCK * nk / dtk / 1e9
+            roof = 4 * 4 * nk * 64 / dte / 1e9   # 3 reads + 1 write, f32
+            kernel_roofline = {"gbps": round(gbps, 1),
+                               "roofline_gbps": round(roof, 1),
+                               "frac": round(gbps / roof, 3),
+                               "n_blocks": nk}
         except Exception:
             pass
 
@@ -313,7 +330,7 @@ def main():
         },
         "blend_kernel": "pallas" if use_pallas_blend() else "einsum",
         **({"surgical_stages": surgical_stages} if surgical_stages else {}),
-        **({"kernel_mfu": kernel_mfu} if kernel_mfu else {}),
+        **({"kernel_roofline": kernel_roofline} if kernel_roofline else {}),
         "batch": BATCH,
     }))
 

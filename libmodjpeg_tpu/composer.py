@@ -216,8 +216,11 @@ def compile_dropon(d: Dropon, img: CoefImage, blockoffset_x: int,
         alpha_weights.append(np.asarray(_alpha_to_weights(aplane, fh, fv)))
         samp.append((ci.h_samp, ci.v_samp))
 
+    from .ops.compose import mask_pix_np
+
     return CompiledDropon(image_colorspace=jcs, image_blocks=image_blocks,
-                          alpha_weights=alpha_weights, samp_factors=samp)
+                          alpha_weights=alpha_weights, samp_factors=samp,
+                          mask_pixels=[mask_pix_np(w) for w in alpha_weights])
 
 
 def compose(img: CoefImage, d: Dropon, align: int = 0, offset_x: int = 0,

@@ -129,7 +129,11 @@ class CompiledDropon:
     ``[h_blocks, w_blocks, 8, 8]`` holding the dropon's (effectively
     unquantized, Q100) DCT coefficients, and ``alpha_weights[c]`` the
     normalized mask-DCT convolution weights (DC level shift +1024, scaled by
-    c(i)c(j)/1020 — dropon.c:542-566 semantics).
+    c(i)c(j)/1020 — dropon.c:542-566 semantics).  ``mask_pixels[c]`` is the
+    mathematically equivalent per-coefficient PIXEL-domain mask (the
+    operator's diagonal in the orthonormal DCT basis — ops/compose.py:
+    mask_pix_np), which is what the hot compose kernels consume: with it
+    the blend is 2 GEMMs instead of 16.
     """
 
     image_colorspace: int
@@ -137,3 +141,5 @@ class CompiledDropon:
     alpha_weights: list[np.ndarray]
     # per-component sampling factors used at compile time
     samp_factors: list[tuple[int, int]]
+    # pixel-domain masks, same shapes as alpha_weights
+    mask_pixels: list[np.ndarray] = dataclasses.field(default_factory=list)

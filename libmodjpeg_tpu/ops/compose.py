@@ -83,6 +83,64 @@ def blend_blocks(x_image: jax.Array, x_dropon: jax.Array,
     return x_image + Y
 
 
+@functools.lru_cache(maxsize=1)
+def _dct_kron() -> np.ndarray:
+    """U = C (x) C, the orthonormal 2-D DCT-II operator on row-major
+    flattened 8x8 blocks, float32 [64, 64] (built in float64)."""
+    C = np.zeros((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            c = np.sqrt(1 / 8) if i == 0 else np.sqrt(2 / 8)
+            C[i, j] = c * np.cos((2 * j + 1) * i * np.pi / 16)
+    return np.kron(C, C).astype(np.float32)
+
+
+# mask-DCT weight -> pixel-mask scale: the operator sum_{kl} w_kl S_k (x) S_l
+# is EXACTLY diagonal in the orthonormal DCT basis (verified to 1e-14 in
+# test_compose_math), with diagonal m = C^T (w * g) C where g = 16 f f^T,
+# f = [sqrt2, 1, ..., 1].
+_MASK_GAIN = 16.0 * np.outer(*([np.array([SQRT2] + [1.0] * 7)] * 2))
+
+
+def mask_pix_np(w_alpha: np.ndarray) -> np.ndarray:
+    """Normalized mask-DCT weights [..., 8, 8] -> the equivalent per-
+    coefficient PIXEL-domain mask m [..., 8, 8] (float64 math, f32 out).
+
+    With m, the blend collapses from 16 Kronecker GEMMs + 64 VPU scaling
+    passes to DCT -> one elementwise multiply -> IDCT (2 GEMMs total):
+    Y = x1 + U^T diag(m) U (x0 - x1), U = C (x) C.  Exactly equivalent in
+    exact arithmetic; opaque mask -> m == 1, zero mask -> m == 0 exactly.
+    """
+    C = np.zeros((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            c = np.sqrt(1 / 8) if i == 0 else np.sqrt(2 / 8)
+            C[i, j] = c * np.cos((2 * j + 1) * i * np.pi / 16)
+    wg = np.asarray(w_alpha, np.float64) * _MASK_GAIN
+    m = np.einsum("ki,...kl,lj->...ij", C, wg, C)
+    return np.ascontiguousarray(m, np.float32)
+
+
+@jax.jit
+def blend_blocks_m(x_image: jax.Array, x_dropon: jax.Array,
+                   mask_pix: jax.Array) -> jax.Array:
+    """Masked blend via the pixel-domain mask (the hot-path formulation).
+
+    x_image/x_dropon: [N, 8, 8] float32; mask_pix: [N, 8, 8] float32 from
+    mask_pix_np.  Returns x1 + IDCT2(m * DCT2(x0 - x1)) — identical to
+    blend_blocks (the S-basis spec) up to f32 rounding, at 2 GEMMs/block.
+    """
+    n = x_image.shape[0]
+    U = jnp.asarray(_dct_kron())
+    hi = jax.lax.Precision.HIGHEST
+    X = (x_dropon - x_image).reshape(n, 64)
+    # row-vector convention: pixels p = X @ U, mask, back via @ U^T
+    t = jnp.dot(X, U, preferred_element_type=jnp.float32, precision=hi)
+    t = t * mask_pix.reshape(n, 64)
+    Y = jnp.dot(t, U.T, preferred_element_type=jnp.float32, precision=hi)
+    return x_image + Y.reshape(n, 8, 8)
+
+
 _PALLAS_DECISION = None
 
 
@@ -114,8 +172,9 @@ def _pallas_interpret() -> bool:
 
 
 def blend_blocks_auto(x_image: jax.Array, x_dropon: jax.Array,
-                      w_alpha: jax.Array) -> jax.Array:
-    """blend_blocks with automatic kernel selection ([N,8,8] contract).
+                      mask_pix: jax.Array) -> jax.Array:
+    """blend with automatic kernel selection ([N,8,8] PIXEL-mask contract:
+    mask_pix from mask_pix_np, NOT the S-basis alpha weights).
 
     All compose paths (single-image, batch, grid-sharded, graft entry) route
     through here so the measured kernel is the shipped kernel."""
@@ -125,26 +184,29 @@ def blend_blocks_auto(x_image: jax.Array, x_dropon: jax.Array,
         n = x_image.shape[0]
         y = blend_blocks_pallas(x_image.reshape(n, 64),
                                 x_dropon.reshape(n, 64),
-                                w_alpha.reshape(n, 64),
+                                mask_pix.reshape(n, 64),
                                 interpret=_pallas_interpret())
         return y.reshape(n, 8, 8)
-    return blend_blocks(x_image, x_dropon, w_alpha)
+    return blend_blocks_m(x_image, x_dropon, mask_pix)
 
 
 def compose_region_auto(region: jax.Array, dropon: jax.Array,
-                        alpha: jax.Array, quant: jax.Array) -> jax.Array:
+                        mask_pix: jax.Array, quant: jax.Array) -> jax.Array:
     """The full compose step for a region of quantized coefficients:
     dequantize, masked blend, truncating correction, truncating requantize
     (compose.c:277-336 semantics), returned as int16.
 
     region: [..., 8, 8] int16/int32 quantized image coefficients
-    dropon/alpha: same shape, float-castable (already broadcast)
+    dropon/mask_pix: same shape, float-castable (already broadcast);
+    mask_pix is the PIXEL-domain mask from mask_pix_np
     quant: int-castable, broadcastable to region's shape
 
     On TPU this is ONE fused Pallas kernel (int16 in / int16 out — no f32
-    intermediates touching HBM); elsewhere it is the reference XLA op
-    sequence.  All compose paths (batch, packed, grid-sharded, graft entry)
-    route through here."""
+    intermediates touching HBM); elsewhere it is the same XLA op sequence.
+    All compose paths (batch, packed, grid-sharded, graft entry) route
+    through here.  An exactly-zero mask block reproduces its input EXACTLY
+    (m=0 makes the delta exactly 0 and sign(r*q)*(|r*q|//q) == r), which is
+    what keeps transparent-padding blocks bit-exact."""
     shape = region.shape
     n = 1
     for s in shape[:-2]:
@@ -155,15 +217,15 @@ def compose_region_auto(region: jax.Array, dropon: jax.Array,
         q = jnp.broadcast_to(quant.astype(jnp.int32), shape).reshape(n, 64)
         y = compose_blocks_pallas(region.reshape(n, 64),
                                   dropon.astype(jnp.float32).reshape(n, 64),
-                                  alpha.astype(jnp.float32).reshape(n, 64),
+                                  mask_pix.astype(jnp.float32).reshape(n, 64),
                                   q, interpret=_pallas_interpret())
         return y.reshape(shape)
     region = region.astype(jnp.int32)
     qi = jnp.broadcast_to(quant.astype(jnp.int32), shape)
     x1 = region.astype(jnp.float32) * qi.astype(jnp.float32)
-    y = blend_blocks(x1.reshape(-1, 8, 8),
-                     dropon.astype(jnp.float32).reshape(-1, 8, 8),
-                     alpha.astype(jnp.float32).reshape(-1, 8, 8))
+    y = blend_blocks_m(x1.reshape(-1, 8, 8),
+                       dropon.astype(jnp.float32).reshape(-1, 8, 8),
+                       mask_pix.astype(jnp.float32).reshape(-1, 8, 8))
     y = y.reshape(shape)
     corr = jnp.trunc(y - x1).astype(jnp.int32)
     out = requant_trunc(region * qi + corr, qi)

@@ -1,79 +1,72 @@
 """Pallas TPU kernel for the masked-compose blend.
 
-The XLA einsum path (ops/compose.py:blend_blocks) materializes a per-block
-[8,8,8,8] intermediate; this kernel instead streams tiles of flattened blocks
-through VMEM using the Kronecker factorization
+The blend operator sum_{kl} w_kl (S_k (x) S_l) (read off the reference's
+unrolled convolve.c) is EXACTLY diagonal in the orthonormal 2-D DCT basis
+(ops/compose.py:mask_pix_np, verified in test_compose_math), so the kernel
+evaluates the mathematically identical pixel-domain form
 
-  (S_k (x) S_l) = (S_k (x) I) (I (x) S_l)
+  Y = X1 + U^T diag(m) U (X0 - X1),   U = C (x) C
 
-so the whole blend is 8 column-pass matmuls (Z_l = X @ ILt_l), a per-row
-rescale by the mask weights, and 8 row-pass matmuls (Y += V_k @ KIt_k) —
-[T,64]x[64,64] GEMMs that sit on the MXU, with the elementwise work fused on
-the VPU.
+as two MXU GEMMs around ONE VPU multiply by the precomputed
+per-coefficient pixel mask m.  The previous S-basis kernel needed 16 GEMMs
+and 64 VPU scale-add passes per tile and was VPU-bound at ~9% MFU; this
+form removes 7/8 of the MXU work and ~97% of the VPU work.
+
+Layout: TPU vregs are 128 lanes wide, so a [T, 64] operand wastes half of
+every vector op and load.  The kernels therefore pack TWO blocks per row —
+[T/2, 128] tiles against block-diagonal [128, 128] operators
+diag(U, U) / diag(U^T, U^T) — filling the lanes for the GEMMs, the mask
+multiply, and the int16 streams alike.
 
 Two entry points:
-  blend_blocks_pallas   — f32 blend only (ops.compose.blend_blocks contract)
+  blend_blocks_pallas   — f32 blend only (ops.compose.blend_blocks_m
+    contract: mask_pix, NOT S-basis alpha weights)
   compose_blocks_pallas — the FUSED compose step: int16 quantized
     coefficients in, int16 out, with dequantize (x coef*quant), blend,
     truncating correction and the reference's truncating requantize
     (compose.c:327-336, sign(v)*(|v|//q)) all inside the kernel.  XLA cannot
     fuse elementwise ops into a pallas_call, so keeping them outside costs
     full HBM round trips of [N,64] f32 intermediates; fused, the kernel
-    streams int16 in / int16 out and does the elementwise work on the VPU
-    between the MXU passes (integer ops incl. i32 divide lower exactly on
-    TPU Mosaic — probed; untouched blocks (all-zero mask) reproduce
-    region -> region exactly since the delta is exactly 0 and
-    sign(r*q)*(|r*q|//q) == r).
+    streams int16 in / int16 out.  Untouched blocks (all-zero mask)
+    reproduce region -> region exactly: the delta is exactly 0 and
+    sign(r*q)*(|r*q|//q) == r.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .compose import basis_matrices_np
+from .compose import _dct_kron
 
-TILE = 256  # blocks per grid step
-
-
-@functools.lru_cache(maxsize=1)
-def _kron_mats() -> tuple:
-    """KIt[k] = (S_k (x) I8)^T and ILt[l] = (I8 (x) S_l)^T, each [8,64,64]."""
-    S = basis_matrices_np()
-    eye = np.eye(8)
-    ki = np.stack([np.kron(S[k], eye).T for k in range(8)])
-    il = np.stack([np.kron(eye, S[l]).T for l in range(8)])
-    return (ki.astype(np.float32), il.astype(np.float32))
+TILE = 2048  # blocks per grid step (rows of 2 packed blocks: TILE // 2)
 
 
-def _blend_kernel(x1_ref, x0_ref, w_ref, ki_ref, il_ref, y_ref, z_scratch):
+def _blockdiag2(a):
+    import numpy as np
+
+    z = np.zeros_like(a)
+    return np.block([[a, z], [z, a]]).astype(np.float32)
+
+
+def _blend_kernel(x1_ref, x0_ref, m_ref, u_ref, ut_ref, y_ref):
     x1 = x1_ref[:]
-    X = x0_ref[:] - x1                     # [T, 64]
-    w = w_ref[:]                           # [T, 64] (flattened k*8+l)
-    # column pass: Z_l = X @ ILt[l]
-    for l in range(8):
-        z_scratch[l] = jnp.dot(X, il_ref[l], preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-    # row pass with per-row mask scaling
-    acc = x1
-    for k in range(8):
-        v = jnp.zeros_like(X)
-        for l in range(8):
-            v = v + w[:, k * 8 + l][:, None] * z_scratch[l]
-        acc = acc + jnp.dot(v, ki_ref[k], preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    y_ref[:] = acc
+    X = x0_ref[:] - x1                     # [T/2, 128]: 2 blocks per row
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.dot(X, u_ref[:], preferred_element_type=jnp.float32,
+                precision=hi)              # to pixel domain (diag(U, U))
+    t = t * m_ref[:]                       # pixel-domain mask
+    y_ref[:] = x1 + jnp.dot(t, ut_ref[:], preferred_element_type=jnp.float32,
+                            precision=hi)  # back: diag(U^T, U^T)
 
 
 def blend_blocks_pallas(x_image: jax.Array, x_dropon: jax.Array,
-                        w_alpha: jax.Array, interpret: bool = False) -> jax.Array:
-    """Same contract as ops.compose.blend_blocks, flattened block layout.
+                        mask_pix: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """Same contract as ops.compose.blend_blocks_m, flattened block layout.
 
-    x_image/x_dropon/w_alpha: [N, 64] float32 (N padded to TILE internally).
-    Returns [N, 64] float32.
+    x_image/x_dropon/mask_pix: [N, 64] float32 (N padded to TILE
+    internally).  Returns [N, 64] float32.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -84,56 +77,45 @@ def blend_blocks_pallas(x_image: jax.Array, x_dropon: jax.Array,
         pad = ((0, n_pad - n), (0, 0))
         x_image = jnp.pad(x_image, pad)
         x_dropon = jnp.pad(x_dropon, pad)
-        w_alpha = jnp.pad(w_alpha, pad)
-    ki, il = _kron_mats()
+        mask_pix = jnp.pad(mask_pix, pad)
+    U = _dct_kron()
+    r2 = n_pad // 2  # two blocks per packed row (free row-major reshape)
 
     grid = (n_pad // TILE,)
-    tile_spec = pl.BlockSpec((TILE, 64), lambda i: (i, 0),
+    tile_spec = pl.BlockSpec((TILE // 2, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
-    const_spec = pl.BlockSpec((8, 64, 64), lambda i: (0, 0, 0),
+    const_spec = pl.BlockSpec((128, 128), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _blend_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 64), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r2, 128), jnp.float32),
         grid=grid,
         in_specs=[tile_spec, tile_spec, tile_spec, const_spec, const_spec],
         out_specs=tile_spec,
-        scratch_shapes=[pltpu.VMEM((8, TILE, 64), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 16 * n_pad * 64 * 64, bytes_accessed=4 * 4 * n_pad * 64,
+            flops=2 * 2 * n_pad * 64 * 128, bytes_accessed=4 * 4 * n_pad * 64,
             transcendentals=0),
         interpret=interpret,
-    )(x_image, x_dropon, w_alpha, jnp.asarray(ki), jnp.asarray(il))
-    return out[:n]
+    )(x_image.reshape(r2, 128), x_dropon.reshape(r2, 128),
+      mask_pix.reshape(r2, 128), jnp.asarray(_blockdiag2(U)),
+      jnp.asarray(_blockdiag2(U.T)))
+    return out.reshape(n_pad, 64)[:n]
 
 
-def _compose_kernel(reg_ref, x0_ref, w_ref, q_ref, ki_ref, il_ref, o_ref,
-                    z_scratch):
-    # (A concatenated two-GEMM form — [T,64]x[64,512] + [T,512]x[512,64] —
-    # was measured 1.3x SLOWER than this loop form on v5e: the in-kernel
-    # concatenate and the [T,512] intermediates cost more than the wider
-    # matmuls save.)
-    reg = reg_ref[:].astype(jnp.int32)     # [T, 64] quantized coefficients
-    q = q_ref[:]                           # [T, 64] i32 quant values
+def _compose_kernel(reg_ref, x0_ref, m_ref, q_ref, u_ref, ut_ref, o_ref):
+    reg = reg_ref[:].astype(jnp.int32)     # [T/2, 128]: 2 blocks per row
+    q = q_ref[:]                           # [T/2, 128] i32 quant values
     x1 = reg.astype(jnp.float32) * q.astype(jnp.float32)   # dequantize
     X = x0_ref[:] - x1
-    w = w_ref[:]
-    # column pass: Z_l = X @ ILt[l]
-    for l in range(8):
-        z_scratch[l] = jnp.dot(X, il_ref[l],
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-    # row pass with per-row mask scaling
-    acc = x1
-    for k in range(8):
-        v = jnp.zeros_like(X)
-        for l in range(8):
-            v = v + w[:, k * 8 + l][:, None] * z_scratch[l]
-        acc = acc + jnp.dot(v, ki_ref[k], preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-    # integer epilogue, same op order as the unfused XLA path
-    # (parallel/batch.py): corr = trunc(y - x1); requantize by C-truncating
-    # division of (region*q + corr)
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.dot(X, u_ref[:], preferred_element_type=jnp.float32,
+                precision=hi)              # to pixel domain (rows: X @ U)
+    t = t * m_ref[:]
+    acc = x1 + jnp.dot(t, ut_ref[:], preferred_element_type=jnp.float32,
+                       precision=hi)
+    # integer epilogue, same op order as the unfused XLA path:
+    # corr = trunc(y - x1); requantize by C-truncating division of
+    # (region*q + corr)
     corr = jnp.trunc(acc - x1).astype(jnp.int32)
     vq = reg * q + corr
     out = jnp.sign(vq) * (jnp.abs(vq) // q)
@@ -142,12 +124,12 @@ def _compose_kernel(reg_ref, x0_ref, w_ref, q_ref, ki_ref, il_ref, o_ref,
 
 
 def compose_blocks_pallas(region: jax.Array, x_dropon: jax.Array,
-                          w_alpha: jax.Array, quant: jax.Array,
+                          mask_pix: jax.Array, quant: jax.Array,
                           interpret: bool = False) -> jax.Array:
     """Fused dequant + masked blend + truncating requant.
 
     region: [N, 64] int16 (or int32) quantized image coefficients
-    x_dropon/w_alpha: [N, 64] float32 dropon coefficients / mask weights
+    x_dropon/mask_pix: [N, 64] float32 dropon coefficients / pixel mask
     quant: [N, 64] int32 quantization values (per-block, already broadcast)
     Returns [N, 64] int16 re-quantized composed coefficients.
     """
@@ -160,30 +142,32 @@ def compose_blocks_pallas(region: jax.Array, x_dropon: jax.Array,
         pad = ((0, n_pad - n), (0, 0))
         region = jnp.pad(region, pad)
         x_dropon = jnp.pad(x_dropon, pad)
-        w_alpha = jnp.pad(w_alpha, pad)
+        mask_pix = jnp.pad(mask_pix, pad)
         quant = jnp.pad(quant, pad, constant_values=1)  # q=0 would divide by 0
-    ki, il = _kron_mats()
+    U = _dct_kron()
+    r2 = n_pad // 2  # two blocks per packed row (free row-major reshape)
 
     grid = (n_pad // TILE,)
 
-    def tspec(_):
-        return pl.BlockSpec((TILE, 64), lambda i: (i, 0),
+    def tspec(dt):
+        return pl.BlockSpec((TILE // 2, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    const_spec = pl.BlockSpec((8, 64, 64), lambda i: (0, 0, 0),
+    const_spec = pl.BlockSpec((128, 128), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _compose_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 64), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((r2, 128), jnp.int16),
         grid=grid,
         in_specs=[tspec(0), tspec(1), tspec(2), tspec(3), const_spec,
                   const_spec],
         out_specs=tspec(4),
-        scratch_shapes=[pltpu.VMEM((8, TILE, 64), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 16 * n_pad * 64 * 64,
+            flops=2 * 2 * n_pad * 64 * 128,
             bytes_accessed=(2 + 4 + 4 + 4 + 2) * n_pad * 64,
             transcendentals=0),
         interpret=interpret,
-    )(region, x_dropon, w_alpha, quant, jnp.asarray(ki), jnp.asarray(il))
-    return out[:n]
+    )(region.reshape(r2, 128), x_dropon.reshape(r2, 128),
+      mask_pix.reshape(r2, 128), quant.reshape(r2, 128),
+      jnp.asarray(_blockdiag2(U)), jnp.asarray(_blockdiag2(U.T)))
+    return out.reshape(n_pad, 64)[:n]

@@ -24,7 +24,7 @@ from ..ops.compose import compose_region_auto
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("row0", "col0"))
 def _compose_batch_component(grids: jax.Array, dropon_blocks: jax.Array,
-                             alpha_weights: jax.Array, quant: jax.Array,
+                             mask_pix: jax.Array, quant: jax.Array,
                              row0: int, col0: int) -> jax.Array:
     """grids: [N, H, W, 8, 8] int16; dropon/alpha: [h, w, 8, 8] (broadcast
     over the batch) or [N, h, w, 8, 8] per-image.  Static origin lets XLA
@@ -34,9 +34,9 @@ def _compose_batch_component(grids: jax.Array, dropon_blocks: jax.Array,
     region = grids[:, row0:row0 + h, col0:col0 + w]
     if dropon_blocks.ndim == 4:
         dropon_b = jnp.broadcast_to(dropon_blocks, (n, h, w, 8, 8))
-        alpha_b = jnp.broadcast_to(alpha_weights, (n, h, w, 8, 8))
+        alpha_b = jnp.broadcast_to(mask_pix, (n, h, w, 8, 8))
     else:
-        dropon_b, alpha_b = dropon_blocks, alpha_weights
+        dropon_b, alpha_b = dropon_blocks, mask_pix
     out = compose_region_auto(region, dropon_b, alpha_b, quant)
     return grids.at[:, row0:row0 + h, col0:col0 + w].set(out)
 
@@ -85,27 +85,24 @@ def _packed_compose_fn(meta, mesh, packed):
 
     meta: static per-component tuple of n_blocks (= h_c * w_c); mesh: a
     hashable 1-D-"batch" Mesh (shards the packed batch over local chips) or
-    None (single device).  The callable signature is
+    None (single device); packed selects the int8+exceptions wire
+    (_wirepack) or the raw int16 wire.  The raw-wire signature is
 
-      fn(flat[n, per_file] i16, qstack[n, ncomps*64] i32, gens, dcs)
+      fn(flat[n, per_file] i16, qstack[n, ncomps*64] i32, drops, masks)
         -> [n, per_file] i16
 
-    where per component c, ``gens[c] = (idx[g] i32, dropon[g,64] f32,
-    alpha[g,64] f32)`` are the GENERAL mask blocks (alpha varies inside the
-    block: full 16-GEMM blend) and ``dcs[c] = (idx[d] i32, dropon[d,64] f32,
-    gain[d] f32)`` the DC-ONLY mask blocks (constant alpha: the mask
-    operator is w00*(S_0 (x) S_0) = 4*w00*I, so the blend collapses to the
-    scalar mix x1 + 4*w00*(x0-x1) — no GEMMs; bit-identical to the general
-    kernel because scaling by the power of two is exact).  Blocks in
-    neither set have an all-zero mask (transparent padding) and pass
-    through untouched.  Every row (file) composes with its OWN quant
-    tables, so mixed corpora are correct.
+    where per component c, ``drops[c]``/``masks[c]`` are the broadcast
+    [hw, 64] f32 dropon coefficients / PIXEL-domain mask (mask_pix_np).
+    All blocks run the one fused 2-GEMM kernel: an all-zero mask block
+    (transparent padding) is an exact pass-through inside it.  Every row
+    (file) composes with its OWN quant tables, so mixed corpora are
+    correct.
 
     Batch-major row packing means ONE host->device and ONE device->host
     transfer per batch, and rows shard cleanly over the mesh's "batch" axis
     with zero collectives (the compose is block-local).
     """
-    def body(flat, qstack, gens, dcs):
+    def body(flat, qstack, drops, masks):
         n = flat.shape[0]
         outs, off = [], 0
         for c, hw in enumerate(meta):
@@ -114,51 +111,29 @@ def _packed_compose_fn(meta, mesh, packed):
                 .reshape(n, hw, 64)
             off += sz
             q = jax.lax.slice(qstack, (0, c * 64), (n, (c + 1) * 64))
-            out = region
-            gidx, gdrop, galpha = gens[c]
-            didx, ddrop, dgain = dcs[c]
-            g, d = gidx.shape[0], didx.shape[0]
-            yg = yd = None
-            if g:
-                rg = jnp.take(region, gidx, axis=1)          # [n, g, 64]
-                qg = jnp.broadcast_to(q[:, None, :], (n, g, 64))
-                dg = jnp.broadcast_to(gdrop[None], (n, g, 64))
-                ag = jnp.broadcast_to(galpha[None], (n, g, 64))
-                yg = compose_region_auto(rg.reshape(n * g, 8, 8),
-                                         dg.reshape(n * g, 8, 8),
-                                         ag.reshape(n * g, 8, 8),
-                                         qg.reshape(n * g, 8, 8)) \
-                    .reshape(n, g, 64)
-            if d:
-                rd = jnp.take(region, didx, axis=1).astype(jnp.int32)
-                qd = jnp.broadcast_to(q[:, None, :], (n, d, 64)) \
-                    .astype(jnp.int32)
-                x1 = rd.astype(jnp.float32) * qd.astype(jnp.float32)
-                y = x1 + dgain[None, :, None] * (ddrop[None] - x1)
-                # same integer epilogue (and float op order) as the general
-                # kernel: corr = trunc(y - x1), C-truncating requantize
-                corr = jnp.trunc(y - x1).astype(jnp.int32)
-                vq = rd * qd + corr
-                od = jnp.sign(vq) * (jnp.abs(vq) // qd)
-                yd = jnp.clip(od, -32768, 32767).astype(jnp.int16)
-            # one combined scatter covers both classes (disjoint index sets)
-            if g and d:
-                out = out.at[:, jnp.concatenate([gidx, didx])].set(
-                    jnp.concatenate([yg, yd], axis=1))
-            elif g:
-                out = out.at[:, gidx].set(yg)
-            elif d:
-                out = out.at[:, didx].set(yd)
-            outs.append(out.reshape(n, sz))
+            # every block goes through the one fused kernel: since the
+            # blend became 2 GEMMs (diagonalized pixel-mask form), the old
+            # per-class gather/scatter routing (zero/DC-only/general) cost
+            # more than it saved; zero-mask blocks are exact pass-throughs
+            # INSIDE the kernel, so transparent padding stays bit-exact
+            qb = jnp.broadcast_to(q[:, None, :], (n, hw, 64))
+            db = jnp.broadcast_to(drops[c][None], (n, hw, 64))
+            mb = jnp.broadcast_to(masks[c][None], (n, hw, 64))
+            out = compose_region_auto(region.reshape(n * hw, 8, 8),
+                                      db.reshape(n * hw, 8, 8),
+                                      mb.reshape(n * hw, 8, 8),
+                                      qb.reshape(n * hw, 8, 8)) \
+                .reshape(n, sz)
+            outs.append(out)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
     if packed:
-        def fn(lo, eidx, evals, qstack, gens, dcs):
+        def fn(lo, eidx, evals, qstack, drops, masks):
             # restore exact int16 from the int8 wire + exception scatter
             n = lo.shape[0]
             flat = lo.astype(jnp.int16).at[
                 jnp.arange(n)[:, None], eidx].set(evals, mode="drop")
-            return body(flat, qstack, gens, dcs)
+            return body(flat, qstack, drops, masks)
         in_specs = (P("batch"), P("batch"), P("batch"), P("batch"), P(), P())
     else:
         fn = body
@@ -195,7 +170,7 @@ class BatchComposer:
         self.block_y = p.block_y
         # device-resident compiled dropon + quant tables
         self._dev_dropon = [jnp.asarray(b) for b in self.cd.image_blocks]
-        self._dev_alpha = [jnp.asarray(a) for a in self.cd.alpha_weights]
+        self._dev_mask = [jnp.asarray(m) for m in self.cd.mask_pixels]
         self._dev_quant = [jnp.asarray(template.quant_table_for(c))
                            for c in range(len(self.cd.image_blocks))]
         # Packed streaming path: shard over local chips unless a mesh was
@@ -205,62 +180,27 @@ class BatchComposer:
         self._stream_mesh = mesh if mesh is not None else stream_mesh()
         self._comp_shapes = [b.shape[:2] for b in self.cd.image_blocks]
         self._meta = tuple(h * w for h, w in self._comp_shapes)
-        # Static per-block mask classification (the compiled alpha weights
-        # are constants of this composer).  Generalizes the w==0 early-out
-        # of the reference's scalar kernel (convolve.c:32-34) per block:
-        #   all-zero mask  -> untouched (transparent padding)
-        #   DC-only mask   -> scalar mix, no GEMMs (constant-alpha interior)
-        #   otherwise      -> full blend kernel (mask edge blocks)
-        # MJT_NO_MASK_CLASSES forces everything down the general path.
-        import os as _os
-
-        # First pass: classify every block (mask_block_classes always
-        # reports the TRUE classification, independent of routing).
-        cls = []
-        for blocks, weights in zip(self.cd.image_blocks,
-                                   self.cd.alpha_weights):
+        # Static per-block mask classification, reported for diagnostics
+        # (zero = transparent padding, DC-only = constant-alpha interior,
+        # general = mask edges).  Since the blend collapsed to the
+        # 2-GEMM diagonalized pixel-mask kernel, classification no longer
+        # ROUTES anything: one kernel serves every class, and zero-mask
+        # blocks are exact pass-throughs inside it.
+        self.mask_block_classes = []
+        for weights in self.cd.alpha_weights:
             h, w = weights.shape[:2]
             wf = np.ascontiguousarray(weights, np.float32).reshape(h * w, 64)
-            df = np.ascontiguousarray(blocks, np.float32).reshape(h * w, 64)
             nz = wf != 0.0
             zero = ~nz.any(axis=1)
             dc = nz[:, 0] & ~nz[:, 1:].any(axis=1)
-            cls.append((wf, df, zero, dc))
-        self.mask_block_classes = [
-            (int(z.sum()), int(d.sum()), int((~z & ~d).sum()))
-            for _, _, z, d in cls]
-        # Routing gate: the classified path replaces one contiguous compose
-        # with a gather + scatter, which only pays off when most blocks skip
-        # the 16-GEMM blend (crisp logo masks: constant-alpha interior, thin
-        # general edge).  Soft/noisy masks where general blocks dominate
-        # keep the straight full-region kernel.  MJT_MASK_CLASSES=1 forces
-        # classified routing, =0 (or MJT_NO_MASK_CLASSES) forces general.
-        force = _os.environ.get("MJT_MASK_CLASSES")
-        if _os.environ.get("MJT_NO_MASK_CLASSES"):
-            force = "0"
-        nblocks = sum(wf.shape[0] for wf, _, _, _ in cls)
-        nskip = sum(int(z.sum()) + int(d.sum()) for _, _, z, d in cls)
-        if force is not None:
-            classify = force != "0"
-        else:
-            classify = nblocks > 0 and nskip * 2 >= nblocks
-        self.mask_routing = "classified" if classify else "general"
-        gens, dcs = [], []
-        for wf, df, zero, dc in cls:
-            n = wf.shape[0]
-            if classify:
-                gen = ~zero & ~dc
-            else:
-                gen = np.ones(n, bool)
-                dc = np.zeros(n, bool)
-            gi = np.nonzero(gen)[0].astype(np.int32)
-            di = np.nonzero(dc)[0].astype(np.int32)
-            gens.append((jnp.asarray(gi), jnp.asarray(df[gi]),
-                         jnp.asarray(wf[gi])))
-            dcs.append((jnp.asarray(di), jnp.asarray(df[di]),
-                        jnp.asarray(4.0 * wf[di, 0])))
-        self._gens = tuple(gens)
-        self._dcs = tuple(dcs)
+            self.mask_block_classes.append(
+                (int(zero.sum()), int(dc.sum()), int((~zero & ~dc).sum())))
+        self._drops = tuple(
+            jnp.asarray(np.ascontiguousarray(b, np.float32).reshape(-1, 64))
+            for b in self.cd.image_blocks)
+        self._masks = tuple(
+            jnp.asarray(np.ascontiguousarray(m, np.float32).reshape(-1, 64))
+            for m in self.cd.mask_pixels)
 
     def compose_arrays(self, comp_batches: Sequence[jax.Array]) -> list:
         """comp_batches[c]: [N, H, W, 8, 8] int16 device arrays (one per
@@ -272,7 +212,7 @@ class BatchComposer:
         for c, grids in enumerate(comp_batches):
             ci = self.template.components[c]
             out.append(_compose_batch_component(
-                grids, self._dev_dropon[c], self._dev_alpha[c],
+                grids, self._dev_dropon[c], self._dev_mask[c],
                 self._dev_quant[c],
                 row0=self.block_y * ci.v_samp, col0=self.block_x * ci.h_samp))
         return out
@@ -333,10 +273,10 @@ class BatchComposer:
         if packed is not None:
             lo, eidx, evals = packed
             fn = _packed_compose_fn(self._meta, mesh, True)
-            out = fn(lo, eidx, evals, qstack, self._gens, self._dcs)
+            out = fn(lo, eidx, evals, qstack, self._drops, self._masks)
         else:
             fn = _packed_compose_fn(self._meta, mesh, False)
-            out = fn(flat, qstack, self._gens, self._dcs)
+            out = fn(flat, qstack, self._drops, self._masks)
         self.last_dispatch_devices = len(out.sharding.device_set)
         return (out, n)
 

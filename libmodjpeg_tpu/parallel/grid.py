@@ -77,11 +77,11 @@ def effects_sharded(img: CoefImage, effect: str, mesh: Mesh,
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("row0", "col0"))
 def _compose_component_sharded(grid: jax.Array, dropon_blocks: jax.Array,
-                               alpha_weights: jax.Array, quant: jax.Array,
+                               mask_pix: jax.Array, quant: jax.Array,
                                row0: int, col0: int) -> jax.Array:
     h, w = dropon_blocks.shape[:2]
     region = grid[row0:row0 + h, col0:col0 + w]
-    out = compose_region_auto(region, dropon_blocks, alpha_weights, quant)
+    out = compose_region_auto(region, dropon_blocks, mask_pix, quant)
     return grid.at[row0:row0 + h, col0:col0 + w].set(out)
 
 
@@ -100,7 +100,7 @@ def compose_sharded(img: CoefImage, dropon, align: int, offset_x: int,
         rows = out.coefs[c].shape[0]
         arr = _shard_grid(mesh, out.coefs[c])
         arr = _compose_component_sharded(
-            arr, bc._dev_dropon[c], bc._dev_alpha[c], bc._dev_quant[c],
+            arr, bc._dev_dropon[c], bc._dev_mask[c], bc._dev_quant[c],
             row0=bc.block_y * ci.v_samp, col0=bc.block_x * ci.h_samp)
         out.coefs[c] = np.asarray(arr)[:rows]
     return out

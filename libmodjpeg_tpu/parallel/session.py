@@ -78,7 +78,7 @@ class GridSession:
             ci = self.meta.components[c]
             self.grids[c] = _compose_component_sharded(
                 self.grids[c], jnp.asarray(cd.image_blocks[c]),
-                jnp.asarray(cd.alpha_weights[c]), self.quants[c],
+                jnp.asarray(cd.mask_pixels[c]), self.quants[c],
                 row0=p.block_y * ci.v_samp, col0=p.block_x * ci.h_samp)
         return self
 

@@ -95,7 +95,7 @@ def run_compose(pid, n_images, outdir):
         garr = jax.make_array_from_callback(
             full.shape, batch_sh, lambda idx, f=full: f[idx])
         dropon = jax.device_put(np.asarray(bc._dev_dropon[c]), repl)
-        alpha = jax.device_put(np.asarray(bc._dev_alpha[c]), repl)
+        alpha = jax.device_put(np.asarray(bc._dev_mask[c]), repl)
         quant = jax.device_put(np.asarray(bc._dev_quant[c]), repl)
         out = _compose_batch_component(
             garr, dropon, alpha, quant,

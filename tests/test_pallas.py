@@ -4,24 +4,31 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from libmodjpeg_tpu.ops.compose import blend_blocks
+from libmodjpeg_tpu.ops.compose import (blend_blocks, blend_blocks_m,
+                                        mask_pix_np)
 from libmodjpeg_tpu.ops.pallas_compose import blend_blocks_pallas, TILE
 from conftest import FIXTURE_IMAGES as IMAGES
 
 
 @pytest.mark.parametrize("n", [1, 7, TILE, TILE + 3, 2 * TILE])
 def test_pallas_blend_matches_einsum(n):
+    """Pallas kernel vs the XLA m-path (same formulation, tight), and both
+    vs the S-basis spec blend_blocks (different op order, loose)."""
     rng = np.random.RandomState(n)
     x1 = (rng.randn(n, 8, 8) * 300).astype(np.float32)
     x0 = (rng.randn(n, 8, 8) * 300).astype(np.float32)
     w = (rng.randn(n, 8, 8) * 0.02).astype(np.float32)
     w[:, 0, 0] = 0.25
-    ref = np.asarray(blend_blocks(jnp.asarray(x1), jnp.asarray(x0),
-                                  jnp.asarray(w)))
+    m = mask_pix_np(w)
+    spec = np.asarray(blend_blocks(jnp.asarray(x1), jnp.asarray(x0),
+                                   jnp.asarray(w)))
+    ref = np.asarray(blend_blocks_m(jnp.asarray(x1), jnp.asarray(x0),
+                                    jnp.asarray(m)))
     out = np.asarray(blend_blocks_pallas(
         jnp.asarray(x1.reshape(n, 64)), jnp.asarray(x0.reshape(n, 64)),
-        jnp.asarray(w.reshape(n, 64)), interpret=True)).reshape(n, 8, 8)
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=2e-3)
+        jnp.asarray(m.reshape(n, 64)), interpret=True)).reshape(n, 8, 8)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(out, spec, rtol=1e-4, atol=5e-3)
 
 
 def test_pallas_opaque_identity():
@@ -36,13 +43,14 @@ def test_pallas_opaque_identity():
     f[:, 0] = 0.3535534 * 0.5
     f[0, 0] = 0.3535534 ** 2
     w = (adct * f / 1020.0).astype(np.float32)
+    m = mask_pix_np(w)
     rng = np.random.RandomState(0)
     n = 16
     x1 = (rng.randn(n, 64) * 300).astype(np.float32)
     x0 = (rng.randn(n, 64) * 300).astype(np.float32)
-    wb = np.broadcast_to(w.reshape(64), (n, 64)).astype(np.float32)
+    mb = np.broadcast_to(m.reshape(64), (n, 64)).astype(np.float32)
     out = np.asarray(blend_blocks_pallas(
-        jnp.asarray(x1), jnp.asarray(x0), jnp.asarray(wb), interpret=True))
+        jnp.asarray(x1), jnp.asarray(x0), jnp.asarray(mb), interpret=True))
     np.testing.assert_allclose(out, x0, atol=3e-2)
 
 
@@ -57,18 +65,17 @@ def test_fused_compose_matches_xla_sequence(n):
     rng = np.random.RandomState(100 + n)
     region = rng.randint(-900, 900, (n, 64)).astype(np.int16)
     x0 = (rng.randn(n, 64) * 300).astype(np.float32)
-    w = (rng.randn(n, 64) * 0.02).astype(np.float32)
-    w[:, 0] = 0.25
+    m = (rng.rand(n, 64) * 0.9).astype(np.float32)
     q = rng.randint(1, 255, (n, 64)).astype(np.int32)
 
     out = np.asarray(compose_blocks_pallas(
-        jnp.asarray(region), jnp.asarray(x0), jnp.asarray(w),
+        jnp.asarray(region), jnp.asarray(x0), jnp.asarray(m),
         jnp.asarray(q), interpret=True))
 
     ri = region.astype(np.int32)
     x1 = jnp.asarray(ri.astype(np.float32) * q)
-    y = blend_blocks(x1.reshape(n, 8, 8), jnp.asarray(x0).reshape(n, 8, 8),
-                     jnp.asarray(w).reshape(n, 8, 8)).reshape(n, 64)
+    y = blend_blocks_m(x1.reshape(n, 8, 8), jnp.asarray(x0).reshape(n, 8, 8),
+                       jnp.asarray(m).reshape(n, 8, 8)).reshape(n, 64)
     corr = np.trunc(np.asarray(y) - np.asarray(x1)).astype(np.int32)
     ref = np.asarray(requant_trunc(jnp.asarray(ri * q + corr),
                                    jnp.asarray(q)))
@@ -105,7 +112,7 @@ def test_compose_region_auto_routes_fused(monkeypatch):
     shape = (2, 3, 4, 8, 8)
     region = rng.randint(-600, 600, shape).astype(np.int16)
     d = (rng.randn(*shape) * 200).astype(np.float32)
-    a = (rng.randn(*shape) * 0.02).astype(np.float32)
+    a = (rng.rand(*shape) * 0.9).astype(np.float32)   # pixel-domain mask
     q = rng.randint(1, 128, (8, 8)).astype(np.int32)
 
     fallback = np.asarray(oc.compose_region_auto(
