@@ -416,7 +416,29 @@ class BatchComposer:
             plan = self._surgical_plan()
             if not plan.ok:
                 plan = None
-        self.last_stream_path = "surgical" if plan is not None else "full"
+        # Restart-free prefix splice (codec.decode_tail/encode_splice): when
+        # the surgical (restart-segmented) plan does not apply, files whose
+        # footprint starts below the first MCU row skip-index the prefix
+        # instead of decoding it and byte-copy it instead of re-encoding it
+        # — output bytes identical to the full path (untouched MCUs
+        # re-encode to the same bits).  Per-file: ineligible streams
+        # (progressive/arithmetic/restarts/DNL/multi-scan) fall back to the
+        # full path and are counted in last_fallback_reasons.
+        import os as _os
+
+        splice_row = None
+        if (plan is None and surgical is not False and not self.noop
+                and options == 0
+                and not self.template.progressive
+                and not self.template.arithmetic
+                and self.template.restart_interval == 0
+                and (restart_interval is None or restart_interval == 0)
+                and self.block_y > 0
+                and not _os.environ.get("MJT_NO_SPLICE")):
+            splice_row = self.block_y
+        self.last_stream_path = ("surgical" if plan is not None else
+                                 "splice" if splice_row is not None else
+                                 "full")
         self.last_fallback_reasons = {}
         # per-stage cumulative wall clocks (seconds): producer writes
         # decode/pack, the consumer thread writes fetch/scatter/encode —
@@ -430,10 +452,11 @@ class BatchComposer:
         origins = None if self.noop else self._region_origins()
 
         def decode_batch(chunk):
-            """Decode a batch: surgical windows where eligible, full decode
-            otherwise."""
+            """Decode a batch: surgical windows / splice tails where
+            eligible, full decode otherwise."""
             n = len(chunk)
             payloads = [None] * n
+            splices = [None] * n
             if plan is not None:
                 for i, (payload, reason) in enumerate(
                         pool.map(plan.extract, chunk)):
@@ -447,6 +470,17 @@ class BatchComposer:
             def prep_one(i):
                 if payloads[i] is not None:
                     return plan.decode_windows(payloads[i])
+                if splice_row is not None:
+                    try:
+                        img, sp = codec.decode_tail(chunk[i], splice_row,
+                                                    max_pixel=max_pixel)
+                        splices[i] = sp
+                        return img
+                    except codec.SpliceIneligible as e:
+                        reason = str(e)
+                        self.last_fallback_reasons[reason] = \
+                            self.last_fallback_reasons.get(reason, 0) + 1
+                        self.last_stream_path = "mixed"
                 # in a batch the pool already decodes files concurrently;
                 # intra-file thread parallelism on top would oversubscribe
                 return codec.decode(chunk[i], max_pixel=max_pixel,
@@ -455,7 +489,7 @@ class BatchComposer:
             t0 = time.perf_counter()
             prepped = list(pool.map(prep_one, range(n)))
             stats["decode_s"] += time.perf_counter() - t0
-            return payloads, prepped
+            return payloads, splices, prepped
 
         def dispatch_batch(payloads, prepped):
             """Gather footprint regions and run the packed device dispatch
@@ -492,8 +526,8 @@ class BatchComposer:
                             break
                     if not chunk:
                         break
-                    payloads, prepped = decode_batch(chunk)
-                    if not put_to(q0, (chunk, payloads, prepped)):
+                    payloads, splices, prepped = decode_batch(chunk)
+                    if not put_to(q0, (chunk, payloads, splices, prepped)):
                         return
                 put_to(q0, stop)
             except BaseException as e:  # surface decode errors to the consumer
@@ -511,9 +545,9 @@ class BatchComposer:
                     if item is stop or isinstance(item, BaseException):
                         put(item)
                         return
-                    chunk, payloads, prepped = item
+                    chunk, payloads, splices, prepped = item
                     pending = dispatch_batch(payloads, prepped)
-                    if not put((chunk, payloads, prepped, pending)):
+                    if not put((chunk, payloads, splices, prepped, pending)):
                         return
             except BaseException as e:
                 put(e)
@@ -532,13 +566,14 @@ class BatchComposer:
                     if item is stop or isinstance(item, BaseException):
                         put_to(q2, item)
                         return
-                    chunk, payloads, prepped, pending = item
+                    chunk, payloads, splices, prepped, pending = item
                     parts = None
                     if pending is not None:
                         t0 = time.perf_counter()
                         parts = self._unpack_regions(pending)
                         stats["fetch_s"] += time.perf_counter() - t0
-                    if not put_to(q2, (chunk, payloads, prepped, parts)):
+                    if not put_to(q2,
+                                  (chunk, payloads, splices, prepped, parts)):
                         return
             except BaseException as e:
                 put_to(q2, e)
@@ -556,7 +591,7 @@ class BatchComposer:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                chunk, payloads, prepped, parts = item
+                chunk, payloads, splices, prepped, parts = item
                 stats["batches"] += 1
                 if parts is not None:
                     t0 = time.perf_counter()
@@ -575,6 +610,9 @@ class BatchComposer:
                     if payloads[i] is not None:
                         return plan.reencode(chunk[i], payloads[i],
                                              prepped[i])
+                    if splices[i] is not None:
+                        return codec.encode_splice(chunk[i], prepped[i],
+                                                   splice_row, splices[i])
                     return codec.encode(prepped[i], options=options,
                                         restart_interval=restart_interval)
 

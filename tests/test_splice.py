@@ -1,0 +1,154 @@
+"""Restart-free prefix-splice path (codec.decode_tail / codec.encode_splice).
+
+The splice invariant: re-encoding an untouched MCU with the same
+coefficients, Huffman tables, and DC predictors reproduces its original
+bits EXACTLY, so a watermark whose footprint starts at MCU row R can
+byte-copy the original file up to R's bit position and re-encode only
+rows >= R — the output must be BYTE-IDENTICAL to the full
+decode-everything / re-encode-everything path.  This is the restart-free
+analog of the surgical splice (surgical.py), covering the dominant
+real-world shape (no restart markers) the round-3 verdict called out.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import libmodjpeg_tpu as mj
+from libmodjpeg_tpu import codec
+from libmodjpeg_tpu.parallel import BatchComposer
+
+from util import encode_pil
+
+
+def _noisy(rng, w, h):
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = 128 + 90 * np.sin(xx / 29.0) * np.cos(yy / 41.0)
+    return np.clip(smooth[..., None] + rng.normal(0, 14, (h, w, 3)), 0,
+                   255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("mode,sub", [("RGB", "420"), ("RGB", "444"),
+                                      ("RGB", "422"), ("L", None)])
+def test_splice_reencode_identical_to_full(mode, sub):
+    """Unmodified round trip: splice == full re-encode, byte for byte, and
+    the prefix equals the original file's bytes."""
+    rng = np.random.default_rng(3)
+    pix = _noisy(rng, 408, 312)   # odd-ish dims: partial right/bottom MCUs
+    data = encode_pil(pix, mode=mode, quality=88, subsampling=sub)
+    full = codec.decode(data)
+    rows = full.components[0].padded_height_in_blocks \
+        // full.sampling.max_v_samp
+    for row in (0, 1, rows // 2, rows - 1, rows):
+        img, splice = codec.decode_tail(data, row)
+        v = full.sampling.max_v_samp
+        for c in range(len(full.coefs)):
+            vc = full.components[c].v_samp
+            r0 = row * vc
+            np.testing.assert_array_equal(img.coefs[c][r0:],
+                                          full.coefs[c][r0:])
+        out = codec.encode_splice(data, img, row, splice)
+        assert out == codec.encode(full), f"row {row}"
+        assert out[:splice[0]] == data[:splice[0]]
+
+
+def test_splice_with_modified_tail_matches_full_path():
+    """Modify coefficients in the tail (what compose does) — splice output
+    must equal the full path's output byte for byte."""
+    rng = np.random.default_rng(5)
+    data = encode_pil(_noisy(rng, 320, 240), quality=85, subsampling="420")
+    full = codec.decode(data)
+    rows = full.components[0].padded_height_in_blocks // 2
+    row = rows - 3
+    img, splice = codec.decode_tail(data, row)
+    for c in range(3):
+        vc = full.components[c].v_samp
+        r0 = row * vc
+        full.coefs[c][r0 + 1, 2:5, 0, 0] += 7
+        img.coefs[c][r0 + 1, 2:5, 0, 0] += 7
+    assert codec.encode_splice(data, img, row, splice) == codec.encode(full)
+
+
+def test_splice_ineligible_shapes():
+    rng = np.random.default_rng(7)
+    pix = _noisy(rng, 160, 160)
+    prog = encode_pil(pix, quality=85, progressive=True)
+    with pytest.raises(codec.SpliceIneligible):
+        codec.decode_tail(prog, 2)
+    rst = codec.encode(codec.decode(encode_pil(pix, quality=85)),
+                       restart_interval=4)
+    with pytest.raises(codec.SpliceIneligible):
+        codec.decode_tail(rst, 2)
+    from libmodjpeg_tpu import constants as C
+
+    arith = codec.encode(codec.decode(encode_pil(pix, quality=85)),
+                         options=C.OPTION_ARITHMETIC)
+    with pytest.raises(codec.SpliceIneligible):
+        codec.decode_tail(arith, 2)
+    trunc = encode_pil(pix, quality=85)[:-2]  # missing EOI
+    with pytest.raises(codec.SpliceIneligible):
+        codec.decode_tail(trunc, 2)
+
+
+def test_splice_12bit():
+    from libmodjpeg_tpu.encode_pixels import from_pixels
+
+    rng = np.random.default_rng(9)
+    img = from_pixels(_noisy(rng, 256, 192), quality=90, subsampling="420")
+    for c in range(len(img.coefs)):
+        img.coefs[c] = (img.coefs[c].astype(np.int32) * 3).clip(
+            -2047, 2047).astype(np.int16)
+    img.precision = 12
+    data = codec.encode(img)
+    full = codec.decode(data)
+    tail, splice = codec.decode_tail(data, 5)
+    assert codec.encode_splice(data, tail, 5, splice) == codec.encode(full)
+
+
+def test_stream_splice_path_byte_identical(tmp_path):
+    """watermark_stream takes the splice path for a bottom-placed logo on a
+    restart-free corpus and yields the SAME bytes as the forced full path;
+    an ineligible (progressive) file in the batch falls back per file."""
+    rng = np.random.default_rng(11)
+    datas = [encode_pil(_noisy(rng, 256, 208), quality=85,
+                        subsampling="420") for _ in range(5)]
+    base = codec.decode(datas[0])
+    logo = np.zeros((24, 64, 4), np.uint8)
+    logo[..., :3] = 200
+    logo[4:-4, 4:-4, 3] = 255
+    d = mj.read_dropon_from_raw(logo, mj.COLORSPACE_RGBA, 64, 24)
+
+    bc = BatchComposer(base, d, mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -8, -8)
+    outs = list(bc.watermark_stream(iter(datas), batch=3))
+    assert bc.last_stream_path == "splice", bc.last_stream_path
+
+    bc_full = BatchComposer(base, d, mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -8, -8)
+    outs_full = list(bc_full.watermark_stream(iter(datas), batch=3,
+                                              surgical=False))
+    assert bc_full.last_stream_path == "full"
+    assert outs == outs_full
+
+    # mixed batch: a progressive file falls back to the full path per file
+    mixed = datas[:2] + [encode_pil(_noisy(rng, 256, 208), quality=85,
+                                    subsampling="420", progressive=True)]
+    bc2 = BatchComposer(base, d, mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -8, -8)
+    outs2 = list(bc2.watermark_stream(iter(mixed), batch=3))
+    assert bc2.last_stream_path == "mixed"
+    assert sum(bc2.last_fallback_reasons.values()) == 1
+    bc3 = BatchComposer(base, d, mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -8, -8)
+    outs3 = list(bc3.watermark_stream(iter(mixed), batch=3, surgical=False))
+    assert outs2 == outs3
+
+
+def test_stream_top_placement_uses_full_path():
+    """block_y == 0 leaves no prefix to splice: the stream reports 'full'."""
+    rng = np.random.default_rng(13)
+    datas = [encode_pil(_noisy(rng, 256, 208), quality=85,
+                        subsampling="420")]
+    base = codec.decode(datas[0])
+    logo = np.full((24, 64, 4), 180, np.uint8)
+    d = mj.read_dropon_from_raw(logo, mj.COLORSPACE_RGBA, 64, 24)
+    bc = BatchComposer(base, d, mj.ALIGN_TOP | mj.ALIGN_LEFT, 0, 0)
+    list(bc.watermark_stream(iter(datas), batch=1))
+    assert bc.last_stream_path == "full"

@@ -126,10 +126,13 @@ def test_chunked_windows(monkeypatch):
 
 
 def test_fallback_no_restarts():
+    # No restart markers -> the surgical (restart-segmented) plan cannot
+    # apply; since round 4 a centered footprint takes the restart-free
+    # PREFIX SPLICE instead (byte-identical to full — tests/test_splice.py)
     rng = np.random.RandomState(6)
     data = make_jpeg(rng, 320, 240, "420", 0)
     bc, outs_s, outs_f, path = run_both(data, 0, 0, 0)
-    assert path == "full"
+    assert path == "splice"
     assert_equal_coefs(outs_s[0], outs_f[0])
 
 
