@@ -108,10 +108,12 @@ def main():
     W, H = 1920, 1088
     # batch amortizes the tunnel round-trip latency (~24ms/dispatch +
     # ~40MB/s upload on this box): measured ~90 MP/s at batch 12,
-    # ~213 at 24, ~238 at 32 (stage split shows compose = the round trip)
-    # 48 amortizes the ~27 ms tunnel dispatch RTT better than 32 while the
-    # upload stays the binding wire cost (int8-packed since round 4)
-    BATCH = int(os.environ.get("MJT_BENCH_BATCH", "48"))
+    # ~213 at 24, ~238 at 32 (stage split shows compose = the round trip).
+    # Round 4 moved to 48; the round-5 regression matrix
+    # (scripts/diag_fullpath.py) showed that was the r03->r04 full-path
+    # regression: batch 32 beat 48 in every config (368.6 vs 276-316 MP/s,
+    # controls attached), so 32 is the default again.
+    BATCH = int(os.environ.get("MJT_BENCH_BATCH", "32"))
     ITERS = int(os.environ.get("MJT_BENCH_ITERS", "5"))
     RESTART = 32  # MCUs per restart segment -> surgical splice path
 
@@ -193,6 +195,59 @@ def main():
     assert composer_s.last_stream_path == "surgical", \
         composer_s.last_stream_path
     jpegs = jpegs_rst  # stage breakdowns below
+
+    # SAME corpus, TOP-LEFT logo: splice-ineligible by construction
+    # (batch.py requires block_y > 0), so the shipped default IS the full
+    # pipeline here.  Guards the headline against silently depending on
+    # logo placement (round-4 verdict weak #4).
+    composer_tl = BatchComposer(codec.decode(jpegs_free[0]), dropon,
+                                mj.ALIGN_TOP | mj.ALIGN_LEFT, 0, 0)
+    measure_stream(composer_tl, jpegs_free, None, 1)
+    t0 = time.perf_counter()
+    measure_stream(composer_tl, jpegs_free, None, ITERS)
+    dt_tl = time.perf_counter() - t0
+    assert composer_tl.last_stream_path == "full", \
+        composer_tl.last_stream_path
+
+    # codec-bound lanes (round-4 verdict weak #5): progressive and
+    # arithmetic corners were 3-10x off the sequential-Huffman numbers and
+    # invisible in BENCH.  Measure them every round on a smaller slice of
+    # the same corpus: a progressive corpus through the shipped stream with
+    # -P re-encode, and arithmetic decode throughput.
+    LANE_N = min(16, BATCH)
+    with jax.default_device(setup_dev):
+        imgs_lane = [codec.decode(d) for d in jpegs_free[:LANE_N]]
+        jpegs_prog = [codec.encode(im, options=mj.OPTION_PROGRESSIVE)
+                      for im in imgs_lane]
+        jpegs_arith = [codec.encode(im, options=mj.OPTION_ARITHMETIC)
+                       for im in imgs_lane]
+    mp_lane = W * H / 1e6 * LANE_N
+
+    composer_p = BatchComposer(codec.decode(jpegs_prog[0]), dropon,
+                               mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT, -32, -32)
+
+    def measure_prog(n):
+        total = 0
+        for out in composer_p.watermark_stream(
+                iter(jpegs_prog * n), batch=LANE_N, pool=pool,
+                options=mj.OPTION_PROGRESSIVE):
+            total += len(out)
+        return total
+
+    measure_prog(1)
+    t0 = time.perf_counter()
+    measure_prog(ITERS)
+    t_prog = time.perf_counter() - t0
+
+    list(pool.map(lambda d: codec.decode(d, nthreads=1), jpegs_arith))
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        list(pool.map(lambda d: codec.decode(d, nthreads=1), jpegs_arith))
+    t_arith = time.perf_counter() - t0
+    codec_lanes = {
+        "progressive_mp_s": round(mp_lane * ITERS / t_prog, 1),
+        "arith_decode_mp_s": round(mp_lane * ITERS / t_arith, 1),
+    }
 
     # stage breakdown of the FULL pipeline (unpipelined, so stage walls are
     # attributable; the headline overlaps decode/encode with the device
@@ -336,7 +391,9 @@ def main():
         "corpus": ("restart-free 1080p, shipped default (prefix splice; "
                    "output byte-identical to the full pipeline)"),
         "full_path_mp_s": round(mp / dt_f, 2),
+        "full_path_topleft_mp_s": round(mp / dt_tl, 2),
         "surgical_mp_s": round(mps_s, 2),
+        "codec_lanes": codec_lanes,
         "stages": {
             "decode_s_per_batch": round(t_dec, 4),
             "compose_s_per_batch": round(t_comp, 4),

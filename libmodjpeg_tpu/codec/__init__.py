@@ -189,6 +189,18 @@ def _load() -> ctypes.CDLL:
         return lib
 
 
+def _available_ram_bytes():
+    """MemAvailable from /proc/meminfo, or None off-Linux (guard disabled)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
 def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
     """Decode a JPEG bitstream into a CoefImage (coefficients + metadata).
 
@@ -235,9 +247,30 @@ def decode(data: bytes, nthreads: int = 0, max_pixel: int = 0) -> CoefImage:
             )
             max_h = max(max_h, h)
             max_v = max(max_v, v)
+        # Host-RAM bound (docs/SCALING.md "dense planes, no virtual-array
+        # spill"): every coefficient plane is dense in host RAM — unlike
+        # libjpeg's jmemmgr, which pages virtual block arrays to temp files
+        # for images larger than memory (SURVEY.md §3.5).  Refuse with a
+        # clear error instead of dying to the OOM killer; max_pixel remains
+        # the first-line guard at the frame header.
+        need = sum(c.padded_height_in_blocks * c.padded_width_in_blocks * 128
+                   for c in components)
+        avail = _available_ram_bytes()
+        if avail is not None and need > avail:
+            from libmodjpeg_tpu.errors import ImageSizeError
+
+            raise ImageSizeError(
+                f"frame needs {need >> 20} MiB of coefficient planes but "
+                f"only {avail >> 20} MiB of host RAM is available; this "
+                "build holds planes dense in RAM (no libjpeg-style "
+                "virtual-array spill) — set max_pixel to bound inputs, "
+                "or split the image (docs/SCALING.md)")
+        for c in components:
             # np.zeros -> calloc: zero pages stay unmapped until a scan
             # writes them (tiny crafted files can claim enormous frames)
-            coefs.append(np.zeros((ph, pw, 8, 8), dtype=np.int16))
+            coefs.append(np.zeros((c.padded_height_in_blocks,
+                                   c.padded_width_in_blocks, 8, 8),
+                                  dtype=np.int16))
 
         ptrs = (ctypes.c_void_p * max(ncomps, 1))(
             *[a.ctypes.data_as(ctypes.c_void_p).value for a in coefs])

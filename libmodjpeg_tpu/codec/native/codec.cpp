@@ -329,6 +329,43 @@ static inline uint64_t zigzag_nonzero_mask(const int16_t* blk) {
   return m;
 }
 
+// Significance mask: abs(v) >= thresh (thresh = 1 << Al), zigzag order.
+// Progressive AC walks with Al > 0 loop over THIS instead of the raw
+// nonzero mask, so point-transform zeros never enter the scalar loop —
+// they contribute to run lengths purely as mask gaps (round-5 encoder
+// profile: the Al=2 high-band first scan spent most of its time
+// discovering that raw nonzeros shift to zero).
+static inline uint64_t zigzag_significant_mask(const int16_t* blk,
+                                               int16_t thresh) {
+#if defined(__SSE2__)
+  const __m128i t = _mm_set1_epi16((short)(thresh - 1));
+  const __m128i zero = _mm_setzero_si128();
+  uint64_t nat = 0;
+  for (int i = 0; i < 4; ++i) {
+    __m128i a = _mm_loadu_si128((const __m128i*)(blk + i * 16));
+    __m128i b = _mm_loadu_si128((const __m128i*)(blk + i * 16 + 8));
+    // abs via max(v, -v); INT16_MIN saturates to INT16_MAX which still
+    // compares >= any valid threshold
+    __m128i aa = _mm_max_epi16(a, _mm_subs_epi16(zero, a));
+    __m128i ab = _mm_max_epi16(b, _mm_subs_epi16(zero, b));
+    __m128i ga = _mm_cmpgt_epi16(aa, t);
+    __m128i gb = _mm_cmpgt_epi16(ab, t);
+    uint32_t bits = (uint32_t)_mm_movemask_epi8(_mm_packs_epi16(ga, gb));
+    nat |= (uint64_t)(bits & 0xFFFFu) << (i * 16);
+  }
+#else
+  uint64_t nat = 0;
+  for (int i = 0; i < 64; ++i) {
+    int v = blk[i];
+    nat |= (uint64_t)((v < 0 ? -v : v) >= thresh) << i;
+  }
+#endif
+  uint64_t m = 0;
+  for (int byte = 0; byte < 8; ++byte)
+    m |= kZig.spread[byte][(nat >> (byte * 8)) & 0xFF];
+  return m;
+}
+
 // ---------------------------------------------------------------------------
 // Huffman decode tables
 // ---------------------------------------------------------------------------

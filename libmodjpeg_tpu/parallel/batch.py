@@ -79,14 +79,47 @@ def _wirepack(flat: np.ndarray):
     return lo, eidx, evals
 
 
+def _downunpack(wire: np.ndarray, cap: int):
+    """Host restore of the packed downlink wire (see _packed_compose_fn's
+    pack_down): returns (flat int16 [n, sz], counts int32 [n]).  Rows with
+    counts > cap are incomplete and must be refetched from the raw output."""
+    sz = wire.shape[1] - cap * 6 - 4
+    lo = wire[:, :sz]
+    eidx = wire[:, sz:sz + cap * 4].copy().view(np.int32)
+    evals = wire[:, sz + cap * 4:sz + cap * 6].copy().view(np.int16)
+    counts = wire[:, sz + cap * 6:].copy().view(np.int32)[:, 0]
+    flat = lo.astype(np.int16)
+    # pad slots index sz-1 and carry its true value, so the scatter is
+    # unconditional
+    np.put_along_axis(flat, eidx, evals, axis=1)
+    return flat, counts
+
+
 @functools.lru_cache(maxsize=32)
-def _packed_compose_fn(meta, mesh, packed):
+def _packed_compose_fn(meta, mesh, packed, down_cap=None):
     """Build the jitted packed-compose callable for one footprint geometry.
 
     meta: static per-component tuple of n_blocks (= h_c * w_c); mesh: a
     hashable 1-D-"batch" Mesh (shards the packed batch over local chips) or
     None (single device); packed selects the int8+exceptions wire
-    (_wirepack) or the raw int16 wire.  The raw-wire signature is
+    (_wirepack) or the raw int16 wire.
+
+    down_cap packs the DOWNLINK the same way (round-5: after the uplink
+    pack + dispatcher stage, the device->host fetch became the streaming
+    wall — BENCH_r04 stream_stats.fetch_s = 0.63 of 0.79 s).  The composed
+    coefficients have the same statistics as the inputs (<0.2% outside
+    int8), so the kernel epilogue emits ONE int8 wire per batch:
+
+      [ lo = clip(out,-128,127) | eidx i32 | evals i16 | counts i32 ]
+
+    with a fixed per-row exception capacity ``down_cap`` (static, so jit
+    re-specializes only on power-of-two bucket changes).  Pad slots of
+    eidx point at sz-1 and evals carries the TRUE value at every listed
+    index (gathered from out), so the host restore is one unconditional
+    put_along_axis — no validity masks.  Rows whose exception count
+    overflows the capacity are restored from ``out``, which is also
+    returned but stays on-device (and untransferred) unless needed.
+    The raw-wire signature is
 
       fn(flat[n, per_file] i16, qstack[n, ncomps*64] i32, drops, masks)
         -> [n, per_file] i16
@@ -127,21 +160,47 @@ def _packed_compose_fn(meta, mesh, packed):
             outs.append(out)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
+    def pack_down(out):
+        """Device epilogue: one int8 downlink wire + the raw out fallback."""
+        n, sz = out.shape
+        cap = down_cap
+        lo = jnp.clip(out, -128, 127).astype(jnp.int8)
+        exc = out != lo.astype(jnp.int16)
+        pos = jnp.cumsum(exc.astype(jnp.int32), axis=1)
+        # non-exceptions and beyond-capacity exceptions land on slot cap
+        # and are dropped by the scatter
+        slot = jnp.where(exc, pos - 1, cap)
+        col = jnp.broadcast_to(jnp.arange(sz, dtype=jnp.int32), (n, sz))
+        eidx = jnp.full((n, cap), sz - 1, jnp.int32).at[
+            jnp.arange(n)[:, None], slot].set(col, mode="drop")
+        evals = jnp.take_along_axis(out, eidx, axis=1)
+        counts = pos[:, -1:]
+        wire = jnp.concatenate([
+            lo,
+            jax.lax.bitcast_convert_type(eidx, jnp.int8).reshape(n, cap * 4),
+            jax.lax.bitcast_convert_type(evals, jnp.int8).reshape(n, cap * 2),
+            jax.lax.bitcast_convert_type(counts, jnp.int8).reshape(n, 4),
+        ], axis=1)
+        return wire, out
+
+    post = pack_down if down_cap else (lambda out: out)
     if packed:
         def fn(lo, eidx, evals, qstack, drops, masks):
             # restore exact int16 from the int8 wire + exception scatter
             n = lo.shape[0]
             flat = lo.astype(jnp.int16).at[
                 jnp.arange(n)[:, None], eidx].set(evals, mode="drop")
-            return body(flat, qstack, drops, masks)
+            return post(body(flat, qstack, drops, masks))
         in_specs = (P("batch"), P("batch"), P("batch"), P("batch"), P(), P())
     else:
-        fn = body
+        def fn(flat, qstack, drops, masks):
+            return post(body(flat, qstack, drops, masks))
         in_specs = (P("batch"), P("batch"), P(), P())
+    out_specs = (P("batch"), P("batch")) if down_cap else P("batch")
     if mesh is None:
         return jax.jit(fn)
     fn_sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                               out_specs=P("batch"), check_vma=False)
+                               out_specs=out_specs, check_vma=False)
     return jax.jit(fn_sharded)
 
 
@@ -201,6 +260,10 @@ class BatchComposer:
         self._masks = tuple(
             jnp.asarray(np.ascontiguousarray(m, np.float32).reshape(-1, 64))
             for m in self.cd.mask_pixels)
+        # downlink exception capacity (power-of-two buckets, adapts upward
+        # when a batch overflows; overflowed rows restore from the raw
+        # on-device output so adaptation never costs correctness)
+        self._down_cap = 32
 
     def compose_arrays(self, comp_batches: Sequence[jax.Array]) -> list:
         """comp_batches[c]: [N, H, W, 8, 8] int16 device arrays (one per
@@ -267,23 +330,42 @@ class BatchComposer:
                      np.ones((n_pad - n, qstack.shape[1]), np.int32)])
         import os as _os
 
+        down_cap = (None if _os.environ.get("MJT_NO_DOWNPACK")
+                    else self._down_cap)
         packed = None
         if not _os.environ.get("MJT_NO_WIREPACK"):
             packed = _wirepack(flat)
         if packed is not None:
             lo, eidx, evals = packed
-            fn = _packed_compose_fn(self._meta, mesh, True)
+            fn = _packed_compose_fn(self._meta, mesh, True, down_cap)
             out = fn(lo, eidx, evals, qstack, self._drops, self._masks)
         else:
-            fn = _packed_compose_fn(self._meta, mesh, False)
+            fn = _packed_compose_fn(self._meta, mesh, False, down_cap)
             out = fn(flat, qstack, self._drops, self._masks)
-        self.last_dispatch_devices = len(out.sharding.device_set)
-        return (out, n)
+        probe = out[0] if down_cap else out
+        self.last_dispatch_devices = len(probe.sharding.device_set)
+        return (out, n, down_cap)
 
     def _unpack_regions(self, pending) -> list:
         """Fetch a _pack_regions result: parts[c][i] = [h, w, 8, 8]."""
-        out, n = pending
-        flat = np.asarray(out)[:n]
+        out, n, down_cap = pending
+        if down_cap:
+            wire_dev, raw_dev = out
+            flat, counts = _downunpack(np.asarray(wire_dev), down_cap)
+            over = np.nonzero(counts > down_cap)[0]
+            if over.size:
+                # rare: restore overflowed rows from the (still on-device)
+                # raw output, then widen the capacity bucket for the next
+                # batches
+                flat[over] = np.asarray(raw_dev[np.asarray(over)])
+                cap = self._down_cap
+                mx = int(counts.max())
+                while cap < mx:
+                    cap *= 2
+                self._down_cap = cap
+            flat = flat[:n]
+        else:
+            flat = np.asarray(out)[:n]
         off, parts = 0, []
         for (h, w) in self._comp_shapes:
             sz = h * w * 64

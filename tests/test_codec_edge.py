@@ -142,3 +142,21 @@ def test_progressive_with_many_restart_segments():
     back = decode(data)
     for c in range(3):
         np.testing.assert_array_equal(back.coefs[c], img.coefs[c])
+
+
+def test_ram_bound_graceful_error(monkeypatch):
+    """A frame whose dense coefficient planes exceed available host RAM
+    must fail with ImageSizeError + guidance, not the OOM killer
+    (docs/SCALING.md host-RAM bound; libjpeg's virtual-array spill is a
+    documented non-goal)."""
+    import libmodjpeg_tpu.codec as codec_mod
+    from libmodjpeg_tpu.errors import ImageSizeError
+
+    with open(f"{IMAGES}/image.jpg", "rb") as f:
+        data = f.read()
+    monkeypatch.setattr(codec_mod, "_available_ram_bytes", lambda: 1024)
+    with pytest.raises(ImageSizeError, match="host RAM"):
+        codec_mod.decode(data)
+    monkeypatch.setattr(codec_mod, "_available_ram_bytes", lambda: None)
+    img = codec_mod.decode(data)          # guard off (non-Linux): decodes
+    assert img.width == 256

@@ -169,3 +169,50 @@ def test_wirepack_roundtrip_exact(base, logo, datas, monkeypatch):
 
     # degenerate: exception-heavy payload refuses to pack
     assert pb._wirepack(np.full((2, 64), 999, np.int16)) is None
+
+
+def test_downlink_pack_roundtrip_exact(base, logo, datas, monkeypatch):
+    """Round 5: the DOWNLINK int8+exceptions wire (device epilogue + host
+    _downunpack) must be byte-exact end to end — stream outputs identical
+    with the pack disabled — and the overflow fallback must engage when the
+    capacity bucket is deliberately too small."""
+    import libmodjpeg_tpu.parallel.batch as pb
+
+    align = mj.ALIGN_BOTTOM | mj.ALIGN_RIGHT
+    bc = BatchComposer(base, logo, align, -5, -3)
+    outs = list(bc.watermark_stream(iter(datas), batch=4))
+    monkeypatch.setenv("MJT_NO_DOWNPACK", "1")
+    bc2 = BatchComposer(base, logo, align, -5, -3)
+    outs_raw = list(bc2.watermark_stream(iter(datas), batch=4))
+    assert outs == outs_raw
+    monkeypatch.delenv("MJT_NO_DOWNPACK")
+
+    # overflow path: cap=1 cannot hold the real exception count, so rows
+    # restore from the raw on-device output and the bucket widens — output
+    # still byte-identical
+    bc3 = BatchComposer(base, logo, align, -5, -3)
+    bc3._down_cap = 1
+    outs_small = list(bc3.watermark_stream(iter(datas), batch=4))
+    assert outs_small == outs_raw
+    assert bc3._down_cap >= 1   # widened iff a row actually overflowed
+
+    # unit: device pack -> host unpack identity on adversarial values
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    out_dev = rng.randint(-128, 128, (5, 256)).astype(np.int16)
+    out_dev[0, 3] = -2047
+    out_dev[2, 255] = 2047          # exception at the pad index sz-1
+    out_dev[4, :10] = 300           # multi-exception row
+    meta = (4,)                     # 4 blocks of 64 = 256
+    fn = pb._packed_compose_fn(meta, None, False, 8)
+    q = np.ones((5, 64), np.int32)
+    drops = (np.zeros((4, 64), np.float32),)
+    masks = (np.zeros((4, 64), np.float32),)   # zero mask: pass-through
+    wire, raw = fn(out_dev, q, drops, masks)
+    flat, counts = pb._downunpack(np.asarray(wire), 8)
+    assert counts[4] == 10 and counts[1] == 0
+    over = np.nonzero(counts > 8)[0]
+    assert list(over) == [4]          # 10 exceptions overflow cap=8
+    flat[over] = np.asarray(raw[np.asarray(over)])
+    np.testing.assert_array_equal(flat, out_dev)   # pass-through + exact wire
