@@ -405,7 +405,9 @@ def main():
         "stream_stats": stream_stats,
         "single_file_decode": {
             "serial_mp_s": round(mp1 / t_d1, 1),
-            "twopass_mp_s": round(mp1 / t_dn, 1),
+            # auto-threaded path: round-5 speculative self-sync split
+            # (decoder.inc:decode_huff_selfsync) for sequential scans
+            "parallel_mp_s": round(mp1 / t_dn, 1),
         },
         "blend_kernel": "pallas" if use_pallas_blend() else "einsum",
         **({"surgical_stages": surgical_stages} if surgical_stages else {}),

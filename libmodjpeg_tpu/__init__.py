@@ -29,6 +29,7 @@ from .constants import (  # noqa: F401
     COLORSPACE_RGBA,
     COLORSPACE_YCC,
     COLORSPACE_YCCA,
+    OPTION_ARITHMETIC,
     OPTION_ARITHMETRIC,
     OPTION_NONE,
     OPTION_OPTIMIZE,
