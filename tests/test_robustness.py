@@ -104,9 +104,46 @@ def test_sanitizer_fuzz_harness(samples, tmp_path):
         p = tmp_path / f"{kind}.jpg"
         p.write_bytes(data)
         paths.append(str(p))
-    r = subprocess.run([binary, "1500", "42"] + paths,
+    # 800 (was 1500): every 5th iteration now fuzzes the ~24x-size
+    # self-sync corpus entry the harness synthesizes, so per-iteration
+    # cost grew; coverage per wall-second is higher than before
+    r = subprocess.run([binary, "800", "42"] + paths,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
+    assert "0 crashes" in r.stdout
+
+
+def test_tsan_fuzz_smoke(samples, tmp_path):
+    """Build the same harness with ThreadSanitizer and run a short round:
+    the threaded decode paths (self-sync split, scan wave/pipeline,
+    restart segments) must be race-free on hostile bytes.  Caught the
+    round-5 disjoint-band-refinement mask-read race."""
+    import shutil
+    import subprocess
+
+    src = os.path.join(REPO, "tools", "fuzz_decode.cpp")
+    binary = os.path.join("/tmp", "mjt_fuzz_decode_tsan")
+    if (not os.path.exists(binary)
+            or os.path.getmtime(binary) < os.path.getmtime(src)
+            or os.path.getmtime(binary) < max(
+                os.path.getmtime(os.path.join(
+                    REPO, "libmodjpeg_tpu", "codec", "native", f))
+                for f in ("codec.cpp", "decoder.inc", "arith.inc",
+                          "encoder.inc", "api.inc"))):
+        if shutil.which("g++") is None:
+            pytest.skip("no g++")
+        subprocess.run(
+            ["g++", "-O1", "-g", "-fsanitize=thread", "-std=c++17", src,
+             "-pthread", "-o", binary], check=True, capture_output=True)
+    paths = []
+    for kind, data in samples.items():
+        p = tmp_path / f"{kind}.jpg"
+        p.write_bytes(data)
+        paths.append(str(p))
+    r = subprocess.run([binary, "40", "7"] + paths,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ThreadSanitizer" not in r.stderr, r.stderr[-2000:]
     assert "0 crashes" in r.stdout
 
 

@@ -60,16 +60,69 @@ int main(int argc, char** argv) {
     }
   }
 
+  // Big restart-free sequential corpus entry: tile corpus[0]'s
+  // coefficients past the SELF-SYNC size gate (>=1536 MCUs, >=256 KB) so
+  // corruption fuzz also drives the round-5 speculative split — its
+  // misparse-restart loop, generation-gated copy, and serial fallback all
+  // run on hostile bytes under the sanitizer.  First assert the clean big
+  // file decodes bit-identically serial vs threaded.
+  {
+    mjt::Decoder base;
+    base.decode(corpus[0].data(), corpus[0].size());
+    mjt::Encoder enc;
+    enc.img = base.img;
+    // 6x4 tiling: 24x the area pushes a ~13 KB q85 fixture past the
+    // self-sync gate (>=1536 MCUs AND >=256 KB of entropy bytes)
+    const int RX = 6, RY = 4;
+    for (int c = 0; c < enc.img.ncomps; ++c) {
+      mjt::ComponentInfo& ci = enc.img.comps[c];
+      int pw = ci.padded_w, ph = ci.padded_h;
+      std::vector<int16_t> big((size_t)pw * RX * ph * RY * 64);
+      for (int ty = 0; ty < RY; ++ty)
+        for (int r = 0; r < ph; ++r)
+          for (int tx = 0; tx < RX; ++tx)
+            std::memcpy(&big[(((size_t)(ty * ph + r) * pw * RX) + tx * pw) *
+                             64],
+                        &enc.img.coefs[c][(size_t)r * pw * 64],
+                        (size_t)pw * 64 * sizeof(int16_t));
+      enc.img.coefs[c] = std::move(big);
+      ci.padded_w = pw * RX;
+      ci.padded_h = ph * RY;
+      ci.width_in_blocks *= RX;
+      ci.height_in_blocks *= RY;
+    }
+    enc.img.width *= RX;
+    enc.img.height *= RY;
+    enc.img.mcus_wide *= RX;
+    enc.img.mcus_high *= RY;
+    enc.opt.nthreads = 2;
+    enc.encode();
+    mjt::Decoder d1, d2;
+    d1.nthreads = 1;
+    d1.decode(enc.out.data(), enc.out.size());
+    d2.nthreads = 2;
+    d2.decode(enc.out.data(), enc.out.size());
+    for (int c = 0; c < d1.img.ncomps; ++c)
+      if (d1.img.coefs[c] != d2.img.coefs[c]) {
+        std::fprintf(stderr, "selfsync mismatch vs serial (comp %d)\n", c);
+        return 1;
+      }
+    corpus.push_back(std::move(enc.out));
+  }
+
   long ok = 0, err = 0;
   for (long t = 0; t < iters; ++t) {
-    std::vector<uint8_t> data = corpus[t % corpus.size()];
+    // every 5th iteration fuzzes the big self-sync entry (it is ~16x the
+    // work of the small files, so weighting it 1/5 keeps runtime sane)
+    size_t pick = (t % 5 == 0) ? corpus.size() - 1 : t % (corpus.size() - 1);
+    std::vector<uint8_t> data = corpus[pick];
     int flips = 1 + (int)(rng() % 6);
     for (int f = 0; f < flips; ++f)
       data[2 + rng() % (data.size() - 2)] = (uint8_t)rng();
     if (rng() % 10 < 3) data.resize(2 + rng() % (data.size() - 2));
     try {
       mjt::Decoder dec;
-      dec.max_pixel = 1 << 24;  // cap crafted huge frames
+      dec.max_pixel = 1 << 26;  // cap crafted huge frames (big entry fits)
       dec.nthreads = 1 + (int)(rng() % 3);
       dec.decode(data.data(), data.size());
       ++ok;
