@@ -380,6 +380,66 @@ def main():
         except Exception:
             pass
 
+    # BASELINE config-4 lane: DCT-domain effects on a 100MP 4:2:0 frame
+    # with the block grid device-resident (GridSession; sharded over the
+    # mesh on multi-chip hosts — this box has one chip).  Effects are
+    # coefficient-domain ops, so the frame is synthetic coefficients; the
+    # one-time upload is excluded (config-4 frames live on the mesh).
+    grid_effects = None
+    if jax.devices()[0].platform != "cpu":
+        from libmodjpeg_tpu.model import (CoefImage, ComponentInfo,
+                                          Sampling)
+        from libmodjpeg_tpu.parallel import GridSession
+
+        GW, GH = 12288, 8192            # 100.7 MP
+        comps, coefs, quants = [], [], {}
+        for c, (h, v) in enumerate([(2, 2), (1, 1), (1, 1)]):
+            wb, hb = GW // 8 // (2 // h), GH // 8 // (2 // v)
+            comps.append(ComponentInfo(
+                component_id=c + 1, h_samp=h, v_samp=v,
+                quant_tbl_no=0 if c == 0 else 1,
+                width_in_blocks=wb, height_in_blocks=hb,
+                padded_width_in_blocks=wb, padded_height_in_blocks=hb))
+            coefs.append(rng.randint(-512, 512,
+                                     (hb, wb, 8, 8)).astype(np.int16))
+        quants[0] = np.full((8, 8), 8, np.uint16)
+        quants[1] = np.full((8, 8), 12, np.uint16)
+        imgG = CoefImage(width=GW, height=GH, jpeg_color_space=3,
+                         components=comps, coefs=coefs,
+                         quant_tables=quants,
+                         sampling=Sampling(max_h_samp=2, max_v_samp=2),
+                         markers=[], progressive=False, arithmetic=False,
+                         restart_interval=0, precision=8)
+        try:
+            sess = GridSession(imgG)
+            mpG = GW * GH / 1e6
+
+            def rounds(k):
+                # one round = the full effect surface: two DC-manipulation
+                # effects (XLA lowers them to in-place DC-plane updates)
+                # plus pixelate, which rewrites every AC coefficient — the
+                # heavyweight representative
+                for _ in range(k):
+                    sess.effect("tint", cb_value=3, cr_value=-2)
+                    sess.effect("luminance", value=1)
+                    sess.effect("pixelate")
+                for g in sess.grids:
+                    g.block_until_ready()
+
+            rounds(1)   # warm/compile
+            KG = 6
+            t0 = time.perf_counter()
+            rounds(KG)
+            dt_g = time.perf_counter() - t0
+            grid_effects = {"mp_s": round(mpG * KG / dt_g, 1),
+                            "frame_mp": round(mpG, 1), "rounds": KG,
+                            "effects_per_round": "tint+luminance+pixelate",
+                            "chips": 1}
+            del sess
+        except Exception:
+            pass
+        del imgG, coefs
+
     mp = mp_batch * ITERS
     mps = mp / dt          # full pipeline, restart-free corpus (headline)
     mps_s = mp / dt_s      # surgical splice, restart-segmented corpus
@@ -412,6 +472,7 @@ def main():
         "blend_kernel": "pallas" if use_pallas_blend() else "einsum",
         **({"surgical_stages": surgical_stages} if surgical_stages else {}),
         **({"kernel_roofline": kernel_roofline} if kernel_roofline else {}),
+        **({"grid_effects": grid_effects} if grid_effects else {}),
         "batch": BATCH,
     }))
 
