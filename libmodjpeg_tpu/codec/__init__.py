@@ -156,6 +156,29 @@ def _load() -> ctypes.CDLL:
             ctypes.c_char_p,
             ctypes.c_int64,
         ]
+        lib.mjt_decode_band.restype = ctypes.c_int32
+        lib.mjt_decode_band.argtypes = [
+            ctypes.c_void_p,                   # handle
+            ctypes.c_int64,                    # row0
+            ctypes.c_int64,                    # row1 (-1 = bottom)
+            ctypes.POINTER(ctypes.c_void_p),   # out planes
+            ctypes.c_int32,                    # prezeroed
+            ctypes.POINTER(ctypes.c_int64),    # out splice [16]
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        lib.mjt_encode_splice_band.restype = ctypes.c_void_p
+        lib.mjt_encode_splice_band.argtypes = [
+            ctypes.c_char_p,                   # original file bytes
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),    # splice [16]
+            ctypes.c_int64,                    # row0
+            ctypes.c_int64,                    # row1
+            ctypes.POINTER(ctypes.c_void_p),   # per-comp coef pointers
+            ctypes.POINTER(ctypes.c_int64),    # out len
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
         lib.mjt_build_optimal_table.restype = ctypes.c_int32
         lib.mjt_build_optimal_table.argtypes = [
             ctypes.POINTER(ctypes.c_int64),   # freq[257]
@@ -401,6 +424,107 @@ def decode_tail(data: bytes, mcu_row: int, max_pixel: int = 0):
         return img, tuple(splice)
     finally:
         lib.mjt_free_image(handle)
+
+
+def decode_band(data: bytes, row0: int, row1: int, max_pixel: int = 0):
+    """Band-splice decode (generalizes decode_tail): fully decode only MCU
+    rows [row0, row1); the prefix is skip-indexed (byte-copied at encode
+    time) and the suffix is skip-indexed only (bit-shift-copied at encode
+    time with a one-MCU DC seam fix).  Returns (CoefImage, band_splice)
+    where rows outside the band are ZERO (never read by splice users).
+    row1 < 0 means "to the bottom" (the decode_tail shape).  Raises
+    SpliceIneligible outside the envelope."""
+    lib = _load()
+    errbuf = ctypes.create_string_buffer(512)
+    handle = lib.mjt_decode_begin(data, len(data), 0, max_pixel, errbuf,
+                                  len(errbuf))
+    if not handle:
+        msg = errbuf.value.decode("utf-8", "replace")
+        if "max_pixel" in msg:
+            from libmodjpeg_tpu.errors import ImageSizeError
+
+            raise ImageSizeError(msg)
+        raise DecodeError(msg)
+    try:
+        info = (ctypes.c_int32 * 9)()
+        lib.mjt_get_info(handle, info)
+        (width, height, ncomps, jcs, prog, arith, ri, nmarkers,
+         precision) = list(info)
+        components = []
+        coefs = []
+        max_h = max_v = 1
+        for c in range(ncomps):
+            ci = (ctypes.c_int32 * 8)()
+            lib.mjt_get_comp_info(handle, c, ci)
+            comp_id, h, v, qno, wib, hib, pw, ph = list(ci)
+            components.append(ComponentInfo(
+                component_id=comp_id, h_samp=h, v_samp=v, quant_tbl_no=qno,
+                width_in_blocks=wib, height_in_blocks=hib,
+                padded_width_in_blocks=pw, padded_height_in_blocks=ph))
+            max_h = max(max_h, h)
+            max_v = max(max_v, v)
+            coefs.append(np.zeros((ph, pw, 8, 8), dtype=np.int16))
+        ptrs = (ctypes.c_void_p * max(ncomps, 1))(
+            *[a.ctypes.data_as(ctypes.c_void_p).value for a in coefs])
+        splice = (ctypes.c_int64 * 16)()
+        rc = lib.mjt_decode_band(handle, row0, row1, ptrs, 1, splice,
+                                 errbuf, len(errbuf))
+        if rc != 0:
+            msg = errbuf.value.decode("utf-8", "replace")
+            if msg.startswith("splice:"):
+                raise SpliceIneligible(msg)
+            raise DecodeError(msg)
+        quant_tables = {}
+        for t in range(4):
+            tbl = np.empty((8, 8), dtype=np.uint16)
+            present = ctypes.c_int32(0)
+            lib.mjt_get_qtable(
+                handle, t,
+                tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                ctypes.byref(present))
+            if present.value:
+                quant_tables[t] = tbl
+        lib.mjt_get_info(handle, info)
+        markers = []
+        for i in range(info[7]):
+            mlen = lib.mjt_get_marker_len(handle, i)
+            buf = (ctypes.c_uint8 * max(mlen, 1))()
+            code = ctypes.c_int32(0)
+            lib.mjt_get_marker(handle, i, ctypes.byref(code), buf)
+            markers.append((code.value, bytes(buf[:mlen])))
+        img = CoefImage(
+            width=width, height=height, jpeg_color_space=jcs,
+            components=components, coefs=coefs, quant_tables=quant_tables,
+            sampling=Sampling(max_h_samp=max_h, max_v_samp=max_v),
+            markers=markers, progressive=bool(prog), arithmetic=bool(arith),
+            restart_interval=info[6], precision=precision)
+        return img, tuple(splice)
+    finally:
+        lib.mjt_free_image(handle)
+
+
+def encode_splice_band(data: bytes, img: CoefImage, row0: int, row1: int,
+                       splice) -> bytes:
+    """Band-splice re-encode: byte-copy the prefix, re-encode rows
+    [row0, row1) from ``img``'s planes, re-code the first suffix MCU (the
+    DC-predictor seam), bit-shift-copy the rest.  Output byte-identical to
+    the full decode -> re-encode pipeline."""
+    lib = _load()
+    errbuf = ctypes.create_string_buffer(512)
+    planes = [np.ascontiguousarray(c, np.int16) for c in img.coefs]
+    ptrs = (ctypes.c_void_p * max(len(planes), 1))(
+        *[a.ctypes.data_as(ctypes.c_void_p).value for a in planes])
+    sp = (ctypes.c_int64 * 16)(*splice)
+    out_len = ctypes.c_int64(0)
+    buf = lib.mjt_encode_splice_band(data, len(data), sp, row0, row1, ptrs,
+                                     ctypes.byref(out_len), errbuf,
+                                     len(errbuf))
+    if not buf:
+        raise EncodeError(errbuf.value.decode("utf-8", "replace"))
+    try:
+        return ctypes.string_at(buf, out_len.value)
+    finally:
+        lib.mjt_free_buffer(buf)
 
 
 def encode_splice(data: bytes, img: CoefImage, mcu_row: int,

@@ -498,28 +498,38 @@ class BatchComposer:
             plan = self._surgical_plan()
             if not plan.ok:
                 plan = None
-        # Restart-free prefix splice (codec.decode_tail/encode_splice): when
-        # the surgical (restart-segmented) plan does not apply, files whose
-        # footprint starts below the first MCU row skip-index the prefix
-        # instead of decoding it and byte-copy it instead of re-encoding it
-        # — output bytes identical to the full path (untouched MCUs
-        # re-encode to the same bits).  Per-file: ineligible streams
-        # (progressive/arithmetic/restarts/DNL/multi-scan) fall back to the
-        # full path and are counted in last_fallback_reasons.
+        # Restart-free BAND splice (codec.decode_band/encode_splice_band,
+        # round 5 — generalizes the round-4 prefix splice): when the
+        # surgical (restart-segmented) plan does not apply, only the
+        # footprint's MCU rows are decoded and re-encoded; the prefix is
+        # skip-indexed + byte-copied and the suffix skip-indexed +
+        # bit-shift-copied (one MCU re-coded at the DC seam) — output
+        # bytes identical to the full path for ANY logo placement.
+        # Per-file: ineligible streams (progressive/arithmetic/restarts/
+        # DNL/multi-scan) fall back to the full path and are counted in
+        # last_fallback_reasons.
         import os as _os
 
-        splice_row = None
+        splice_band = None
         if (plan is None and surgical is not False and not self.noop
                 and options == 0
                 and not self.template.progressive
                 and not self.template.arithmetic
                 and self.template.restart_interval == 0
                 and (restart_interval is None or restart_interval == 0)
-                and self.block_y > 0
                 and not _os.environ.get("MJT_NO_SPLICE")):
-            splice_row = self.block_y
+            t = self.template
+            rows_total = -(-t.height // (8 * t.sampling.max_v_samp))
+            mcu_rows = max(
+                -(-self.cd.image_blocks[c].shape[0]
+                  // t.components[c].v_samp)
+                for c in range(len(self.cd.image_blocks)))
+            row0 = self.block_y
+            row1 = min(self.block_y + mcu_rows, rows_total)
+            if row0 > 0 or row1 < rows_total:
+                splice_band = (row0, row1)
         self.last_stream_path = ("surgical" if plan is not None else
-                                 "splice" if splice_row is not None else
+                                 "splice" if splice_band is not None else
                                  "full")
         self.last_fallback_reasons = {}
         # per-stage cumulative wall clocks (seconds): producer writes
@@ -552,9 +562,11 @@ class BatchComposer:
             def prep_one(i):
                 if payloads[i] is not None:
                     return plan.decode_windows(payloads[i])
-                if splice_row is not None:
+                if splice_band is not None:
                     try:
-                        img, sp = codec.decode_tail(chunk[i], splice_row,
+                        img, sp = codec.decode_band(chunk[i],
+                                                    splice_band[0],
+                                                    splice_band[1],
                                                     max_pixel=max_pixel)
                         splices[i] = sp
                         return img
@@ -693,8 +705,35 @@ class BatchComposer:
                         return plan.reencode(chunk[i], payloads[i],
                                              prepped[i])
                     if splices[i] is not None:
-                        return codec.encode_splice(chunk[i], prepped[i],
-                                                   splice_row, splices[i])
+                        try:
+                            return codec.encode_splice_band(
+                                chunk[i], prepped[i], splice_band[0],
+                                splice_band[1], splices[i])
+                        except codec.EncodeError:
+                            # the file's ORIGINAL (optimized) Huffman
+                            # tables lack a code for a symbol the composed
+                            # band now needs — the splice must keep the
+                            # original tables for bit-identity, so redo
+                            # this file on the full path (fresh tables).
+                            # The composed footprint is already in
+                            # prepped[i]'s band rows; graft it onto a full
+                            # decode.
+                            reason = "splice: original tables lack a " \
+                                     "needed symbol"
+                            self.last_fallback_reasons[reason] = \
+                                self.last_fallback_reasons.get(reason,
+                                                               0) + 1
+                            self.last_stream_path = "mixed"
+                            full_im = codec.decode(chunk[i],
+                                                   max_pixel=max_pixel,
+                                                   nthreads=1)
+                            for c, (r0, c0, h, w) in enumerate(origins):
+                                full_im.coefs[c][r0:r0 + h, c0:c0 + w] = \
+                                    prepped[i].coefs[c][r0:r0 + h,
+                                                        c0:c0 + w]
+                            return codec.encode(
+                                full_im, options=options,
+                                restart_interval=restart_interval)
                     return codec.encode(prepped[i], options=options,
                                         restart_interval=restart_interval)
 

@@ -80,3 +80,14 @@ def test_selfsync_corrupt_stream_errors_like_serial():
     if ser is not None and par is not None:
         for c in range(3):
             np.testing.assert_array_equal(ser.coefs[c], par.coefs[c])
+
+
+def test_selfsync_12bit_precision():
+    """12-bit sequential streams (wider DC/AC magnitude categories) must
+    decode bit-identically through the speculative split."""
+    rng = np.random.RandomState(21)
+    img = random_image(rng, "420", 120, 68, precision=12)
+    data = codec.encode(img, 0)
+    if len(data) < (256 << 10):
+        pytest.skip("stream too small to trip the self-sync gate")
+    _assert_parallel_matches_serial(img, data)

@@ -141,14 +141,117 @@ def test_stream_splice_path_byte_identical(tmp_path):
     assert outs2 == outs3
 
 
-def test_stream_top_placement_uses_full_path():
-    """block_y == 0 leaves no prefix to splice: the stream reports 'full'."""
+def test_stream_top_placement_band_splices():
+    """Round 5: block_y == 0 no longer forces the full path — the BAND
+    splice decodes only the footprint rows and bit-shift-copies the
+    suffix; output must equal the forced full pipeline byte for byte."""
     rng = np.random.default_rng(13)
     datas = [encode_pil(_noisy(rng, 256, 208), quality=85,
-                        subsampling="420")]
+                        subsampling="420")] * 3
     base = codec.decode(datas[0])
     logo = np.full((24, 64, 4), 180, np.uint8)
     d = mj.read_dropon_from_raw(logo, mj.COLORSPACE_RGBA, 64, 24)
     bc = BatchComposer(base, d, mj.ALIGN_TOP | mj.ALIGN_LEFT, 0, 0)
-    list(bc.watermark_stream(iter(datas), batch=1))
-    assert bc.last_stream_path == "full"
+    outs = list(bc.watermark_stream(iter(datas), batch=3))
+    assert bc.last_stream_path == "splice"
+    bc2 = BatchComposer(base, d, mj.ALIGN_TOP | mj.ALIGN_LEFT, 0, 0)
+    outs_full = list(bc2.watermark_stream(iter(datas), batch=3,
+                                          surgical=False))
+    assert bc2.last_stream_path == "full"
+    assert outs == outs_full
+
+
+def test_stream_center_placement_band_splices():
+    """A centered logo (prefix AND suffix) band-splices; bytes equal the
+    full pipeline."""
+    rng = np.random.default_rng(14)
+    datas = [encode_pil(_noisy(rng, 256, 208), quality=85,
+                        subsampling="420")] * 3
+    base = codec.decode(datas[0])
+    logo = np.full((24, 64, 4), 180, np.uint8)
+    d = mj.read_dropon_from_raw(logo, mj.COLORSPACE_RGBA, 64, 24)
+    bc = BatchComposer(base, d, mj.ALIGN_CENTER, 3, 5)
+    outs = list(bc.watermark_stream(iter(datas), batch=3))
+    assert bc.last_stream_path == "splice"
+    bc2 = BatchComposer(base, d, mj.ALIGN_CENTER, 3, 5)
+    outs_full = list(bc2.watermark_stream(iter(datas), batch=3,
+                                          surgical=False))
+    assert outs == outs_full
+
+
+@pytest.mark.parametrize("band", [(0, 4), (5, 9), (20, 26), (0, 26),
+                                  (12, 13)],
+                         ids=["top", "near-top", "bottom", "whole",
+                              "one-row"])
+def test_band_splice_byte_identical(band):
+    """codec.decode_band / encode_splice_band: decode only MCU rows
+    [r0, r1), edit inside the band (including a DC change — the suffix
+    seam's first MCU must re-code against the new predictor chain), and
+    the spliced re-encode must equal the full decode->edit->encode
+    pipeline byte for byte."""
+    r0, r1 = band
+    rng = np.random.default_rng(99)
+    data = encode_pil(_noisy(rng, 320, 416), quality=85, subsampling="420")
+    full = codec.decode(data)
+    rows_total = (416 + 15) // 16
+    r1 = min(r1, rows_total)
+
+    img, sp = codec.decode_band(data, r0, r1)
+    for c in range(3):
+        v = full.components[c].v_samp
+        np.testing.assert_array_equal(img.coefs[c][r0 * v:r1 * v],
+                                      full.coefs[c][r0 * v:r1 * v])
+
+    mod = codec.decode(data)
+    rr = r0 * 2
+    for tgt in (img, mod):
+        tgt.coefs[0][rr, 3, 0, 1] += 5
+        tgt.coefs[0][min(rr + 1, r1 * 2 - 1), 7, 0, 0] += 2  # DC: seam fix
+    out_band = codec.encode_splice_band(data, img, r0, r1, sp)
+    out_full = codec.encode(mod)
+    assert out_band == out_full
+
+
+def test_band_splice_unmodified_reproduces_original():
+    """With no edits at all, the band splice must reproduce the ORIGINAL
+    file byte for byte (prefix copy + deterministic band re-encode + seam
+    re-code + suffix bit copy)."""
+    rng = np.random.default_rng(7)
+    data = encode_pil(_noisy(rng, 256, 208), quality=85, subsampling="420")
+    img, sp = codec.decode_band(data, 3, 7)
+    assert codec.encode_splice_band(data, img, 3, 7, sp) == data
+
+
+def test_band_splice_optimized_tables_fallback():
+    """A file with OPTIMIZED Huffman tables may lack a code for a symbol
+    the composed band newly needs (the splice must keep the original
+    tables for bit-identity).  Such files fall back to the full path PER
+    FILE; output equals the forced full pipeline either way.  (Latent
+    since the round-4 prefix splice; found in round 5 on the reference
+    fixture, whose tables are optimized.)"""
+    rng = np.random.default_rng(17)
+    # smooth content -> sparse optimized tables; a noisy opaque logo then
+    # needs symbols the tables never saw
+    yy, xx = np.mgrid[0:208, 0:256]
+    smooth = np.clip(128 + 60 * np.sin(xx / 53.0) * np.cos(yy / 67.0), 0,
+                     255).astype(np.uint8)
+    pix = np.repeat(smooth[..., None], 3, axis=2)
+    from libmodjpeg_tpu import constants as C
+    from libmodjpeg_tpu.encode_pixels import from_pixels
+
+    data = codec.encode(from_pixels(pix, quality=85, subsampling="420"),
+                        options=C.OPTION_OPTIMIZE)
+    base = codec.decode(data)
+    logo = rng.integers(0, 255, (24, 64, 4), dtype=np.uint8)
+    logo[..., 3] = 255
+    d = mj.read_dropon_from_raw(np.ascontiguousarray(logo),
+                                mj.COLORSPACE_RGBA, 64, 24)
+    bc = BatchComposer(base, d, mj.ALIGN_TOP | mj.ALIGN_LEFT, 8, 8)
+    outs = list(bc.watermark_stream(iter([data] * 3), batch=3))
+    bc2 = BatchComposer(base, d, mj.ALIGN_TOP | mj.ALIGN_LEFT, 8, 8)
+    outs_full = list(bc2.watermark_stream(iter([data] * 3), batch=3,
+                                          surgical=False))
+    assert outs == outs_full
+    # the fallback is per file and counted when it fires
+    if bc.last_stream_path == "mixed":
+        assert any("tables lack" in k for k in bc.last_fallback_reasons)
