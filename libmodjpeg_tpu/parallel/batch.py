@@ -702,8 +702,29 @@ class BatchComposer:
 
                 def enc_one(i):
                     if payloads[i] is not None:
-                        return plan.reencode(chunk[i], payloads[i],
-                                             prepped[i])
+                        try:
+                            return plan.reencode(chunk[i], payloads[i],
+                                                 prepped[i])
+                        except codec.EncodeError:
+                            # same optimized-tables hazard as the band
+                            # splice below: the original tables lack a
+                            # code the composed segment now needs
+                            reason = "surgical: original tables lack a " \
+                                     "needed symbol"
+                            self.last_fallback_reasons[reason] = \
+                                self.last_fallback_reasons.get(reason,
+                                                               0) + 1
+                            self.last_stream_path = "mixed"
+                            full_im = codec.decode(chunk[i],
+                                                   max_pixel=max_pixel,
+                                                   nthreads=1)
+                            regions_i = plan.gather(prepped[i])
+                            for c, (r0, c0, h, w) in enumerate(origins):
+                                full_im.coefs[c][r0:r0 + h, c0:c0 + w] = \
+                                    regions_i[c]
+                            return codec.encode(
+                                full_im, options=options,
+                                restart_interval=restart_interval)
                     if splices[i] is not None:
                         try:
                             return codec.encode_splice_band(

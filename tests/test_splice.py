@@ -255,3 +255,35 @@ def test_band_splice_optimized_tables_fallback():
     # the fallback is per file and counted when it fires
     if bc.last_stream_path == "mixed":
         assert any("tables lack" in k for k in bc.last_fallback_reasons)
+
+
+def test_surgical_optimized_tables_fallback():
+    """The surgical (restart-segmented) splice re-encodes touched segments
+    with the file's own tables — optimized tables can lack a symbol the
+    composed segment needs; the file must fall back to the full path and
+    produce the forced-full output."""
+    rng = np.random.default_rng(23)
+    yy, xx = np.mgrid[0:208, 0:256]
+    smooth = np.clip(128 + 60 * np.sin(xx / 53.0) * np.cos(yy / 67.0), 0,
+                     255).astype(np.uint8)
+    pix = np.repeat(smooth[..., None], 3, axis=2)
+    from libmodjpeg_tpu import constants as C
+    from libmodjpeg_tpu.encode_pixels import from_pixels
+
+    data = codec.encode(from_pixels(pix, quality=85, subsampling="420"),
+                        options=C.OPTION_OPTIMIZE, restart_interval=4)
+    base = codec.decode(data)
+    logo = rng.integers(0, 255, (24, 64, 4), dtype=np.uint8)
+    logo[..., 3] = 255
+    d = mj.read_dropon_from_raw(np.ascontiguousarray(logo),
+                                mj.COLORSPACE_RGBA, 64, 24)
+    bc = BatchComposer(base, d, mj.ALIGN_TOP | mj.ALIGN_LEFT, 8, 8)
+    outs = list(bc.watermark_stream(iter([data] * 2), batch=2,
+                                    restart_interval=4))
+    bc2 = BatchComposer(base, d, mj.ALIGN_TOP | mj.ALIGN_LEFT, 8, 8)
+    outs_full = list(bc2.watermark_stream(iter([data] * 2), batch=2,
+                                          restart_interval=4,
+                                          surgical=False))
+    assert outs == outs_full
+    if bc.last_stream_path == "mixed":
+        assert any("tables lack" in k for k in bc.last_fallback_reasons)

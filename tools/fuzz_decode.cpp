@@ -108,6 +108,32 @@ int main(int argc, char** argv) {
         return 1;
       }
     corpus.push_back(std::move(enc.out));
+
+    // band-splice roundtrip on the clean big file: decode only rows
+    // [3, 9), re-encode via prefix byte-copy + band + suffix bit copy —
+    // must reproduce the original byte for byte under the sanitizer
+    mjt::Decoder db;
+    db.begin(corpus.back().data(), corpus.back().size());
+    mjt::Decoder::BandOut bo;
+    db.finish_band(3, 9, &bo);
+    int64_t sp[16] = {bo.pre.prefix_raw, bo.pre.partial_bits,
+                      bo.pre.partial_byte, bo.pre.preds[0], bo.pre.preds[1],
+                      bo.pre.preds[2], bo.pre.preds[3], bo.suffix_bitpos,
+                      bo.preds1[0], bo.preds1[1], bo.preds1[2],
+                      bo.preds1[3], bo.end_bitpos, 0, 0, 0};
+    const int16_t* bplanes[4] = {nullptr, nullptr, nullptr, nullptr};
+    for (int c = 0; c < db.img.ncomps; ++c) bplanes[c] = db.img.coefs[c].data();
+    int64_t blen = 0;
+    char berr[256];
+    uint8_t* bbuf = mjt_encode_splice_band(
+        corpus.back().data(), (int64_t)corpus.back().size(), sp, 3, 9,
+        bplanes, &blen, berr, sizeof(berr));
+    if (!bbuf || blen != (int64_t)corpus.back().size() ||
+        std::memcmp(bbuf, corpus.back().data(), (size_t)blen) != 0) {
+      std::fprintf(stderr, "band splice roundtrip mismatch\n");
+      return 1;
+    }
+    delete[] bbuf;
   }
 
   long ok = 0, err = 0;
@@ -124,7 +150,15 @@ int main(int argc, char** argv) {
       mjt::Decoder dec;
       dec.max_pixel = 1 << 26;  // cap crafted huge frames (big entry fits)
       dec.nthreads = 1 + (int)(rng() % 3);
-      dec.decode(data.data(), data.size());
+      if (rng() % 4 == 0) {
+        // band-splice decode on hostile bytes: the prefix/suffix index
+        // walks and seam bookkeeping must fail cleanly, never crash
+        dec.begin(data.data(), data.size());
+        mjt::Decoder::BandOut bo;
+        dec.finish_band((long)(rng() % 8), (long)(2 + rng() % 16), &bo);
+      } else {
+        dec.decode(data.data(), data.size());
+      }
       ++ok;
     } catch (const std::exception&) {
       ++err;
