@@ -349,81 +349,12 @@ class SpliceIneligible(Exception):
 
 
 def decode_tail(data: bytes, mcu_row: int, max_pixel: int = 0):
-    """Splice-decode: establish entropy state for MCU rows [0, mcu_row)
-    with the index walk (no coefficient stores) and fully decode only rows
-    >= mcu_row.  Returns (CoefImage, splice) where rows < mcu_row of the
-    coefficient planes are ZERO (never read by splice users) and ``splice``
-    is the 7-tuple consumed by encode_splice.  Raises SpliceIneligible for
-    streams outside the envelope (progressive/arithmetic/restarts/DNL/
-    multi-scan) — callers fall back to the full decode.
-    """
-    lib = _load()
-    errbuf = ctypes.create_string_buffer(512)
-    handle = lib.mjt_decode_begin(data, len(data), 0, max_pixel, errbuf,
-                                  len(errbuf))
-    if not handle:
-        msg = errbuf.value.decode("utf-8", "replace")
-        if "max_pixel" in msg:
-            from libmodjpeg_tpu.errors import ImageSizeError
-
-            raise ImageSizeError(msg)
-        raise DecodeError(msg)
-    try:
-        info = (ctypes.c_int32 * 9)()
-        lib.mjt_get_info(handle, info)
-        (width, height, ncomps, jcs, prog, arith, ri, nmarkers,
-         precision) = list(info)
-        components = []
-        coefs = []
-        max_h = max_v = 1
-        for c in range(ncomps):
-            ci = (ctypes.c_int32 * 8)()
-            lib.mjt_get_comp_info(handle, c, ci)
-            comp_id, h, v, qno, wib, hib, pw, ph = list(ci)
-            components.append(ComponentInfo(
-                component_id=comp_id, h_samp=h, v_samp=v, quant_tbl_no=qno,
-                width_in_blocks=wib, height_in_blocks=hib,
-                padded_width_in_blocks=pw, padded_height_in_blocks=ph))
-            max_h = max(max_h, h)
-            max_v = max(max_v, v)
-            coefs.append(np.zeros((ph, pw, 8, 8), dtype=np.int16))
-        ptrs = (ctypes.c_void_p * max(ncomps, 1))(
-            *[a.ctypes.data_as(ctypes.c_void_p).value for a in coefs])
-        splice = (ctypes.c_int64 * 7)()
-        rc = lib.mjt_decode_tail(handle, mcu_row, ptrs, 1, splice, errbuf,
-                                 len(errbuf))
-        if rc != 0:
-            msg = errbuf.value.decode("utf-8", "replace")
-            if msg.startswith("splice:"):
-                raise SpliceIneligible(msg)
-            raise DecodeError(msg)
-        quant_tables = {}
-        for t in range(4):
-            tbl = np.empty((8, 8), dtype=np.uint16)
-            present = ctypes.c_int32(0)
-            lib.mjt_get_qtable(
-                handle, t,
-                tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-                ctypes.byref(present))
-            if present.value:
-                quant_tables[t] = tbl
-        lib.mjt_get_info(handle, info)
-        markers = []
-        for i in range(info[7]):
-            mlen = lib.mjt_get_marker_len(handle, i)
-            buf = (ctypes.c_uint8 * max(mlen, 1))()
-            code = ctypes.c_int32(0)
-            lib.mjt_get_marker(handle, i, ctypes.byref(code), buf)
-            markers.append((code.value, bytes(buf[:mlen])))
-        img = CoefImage(
-            width=width, height=height, jpeg_color_space=jcs,
-            components=components, coefs=coefs, quant_tables=quant_tables,
-            sampling=Sampling(max_h_samp=max_h, max_v_samp=max_v),
-            markers=markers, progressive=bool(prog), arithmetic=bool(arith),
-            restart_interval=info[6], precision=precision)
-        return img, tuple(splice)
-    finally:
-        lib.mjt_free_image(handle)
+    """Prefix-splice decode: the decode_band shape with the band running
+    to the bottom.  Returns (CoefImage, 7-tuple splice) for
+    encode_splice; the native layer delegates finish_tail -> finish_band
+    the same way."""
+    img, band = decode_band(data, mcu_row, -1, max_pixel=max_pixel)
+    return img, band[:7]
 
 
 def decode_band(data: bytes, row0: int, row1: int, max_pixel: int = 0):
@@ -463,7 +394,21 @@ def decode_band(data: bytes, row0: int, row1: int, max_pixel: int = 0):
                 padded_width_in_blocks=pw, padded_height_in_blocks=ph))
             max_h = max(max_h, h)
             max_v = max(max_v, v)
-            coefs.append(np.zeros((ph, pw, 8, 8), dtype=np.int16))
+        # same host-RAM bound as decode() (docs/SCALING.md)
+        need = sum(c.padded_height_in_blocks * c.padded_width_in_blocks * 128
+                   for c in components)
+        avail = _available_ram_bytes()
+        if avail is not None and need > avail:
+            from libmodjpeg_tpu.errors import ImageSizeError
+
+            raise ImageSizeError(
+                f"frame needs {need >> 20} MiB of coefficient planes but "
+                f"only {avail >> 20} MiB of host RAM is available "
+                "(docs/SCALING.md)")
+        for c in components:
+            coefs.append(np.zeros((c.padded_height_in_blocks,
+                                   c.padded_width_in_blocks, 8, 8),
+                                  dtype=np.int16))
         ptrs = (ctypes.c_void_p * max(ncomps, 1))(
             *[a.ctypes.data_as(ctypes.c_void_p).value for a in coefs])
         splice = (ctypes.c_int64 * 16)()
