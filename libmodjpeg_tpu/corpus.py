@@ -421,6 +421,24 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    # Persistent XLA compilation cache: a corpus worker is a short-lived
+    # batch process, so cold-start jit compilation (~3 s) would otherwise
+    # be paid per process per run — on a pod it is paid once per binary
+    # version.  MJT_COMPILE_CACHE overrides the location; "0" disables.
+    cache = os.environ.get(
+        "MJT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "libmodjpeg_tpu",
+                     "xla"))
+    if cache and cache != "0":
+        try:
+            os.makedirs(cache, exist_ok=True)
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.1)
+        except Exception:
+            pass  # cache is an optimization; never fail the run for it
     from .parallel.session import init_distributed
 
     init_distributed()  # no-op unless MJT_COORDINATOR is configured
