@@ -168,18 +168,30 @@ def watermark(data: bytes, dropon: "Dropon", align: int = 0,
     from . import codec
     from .corpus import _geometry_key
     from .parallel.batch import BatchComposer
+    from .surgical import parse_structure
 
-    template = codec.decode(data)
-    key = (_dropon_fingerprint(dropon), _geometry_key(template),
-           align, offset_x, offset_y)
+    # header-only geometry probe where possible: on a cache HIT the stream's
+    # band splice is then the ONLY entropy work (a full template decode per
+    # call would halve the splice's benefit for repeat-logo workloads)
+    st = parse_structure(data)
+    template = None
+    if st is not None:
+        gkey = st.geometry_key()
+    else:
+        template = codec.decode(data)
+        gkey = _geometry_key(template)
+    key = (_dropon_fingerprint(dropon), gkey, align, offset_x, offset_y)
     bc = _WATERMARK_CACHE.get(key)
     if bc is None:
+        if template is None:
+            template = codec.decode(data)
         bc = BatchComposer(template, dropon, align, offset_x, offset_y)
         while len(_WATERMARK_CACHE) >= _WATERMARK_CACHE_MAX:
             _WATERMARK_CACHE.pop(next(iter(_WATERMARK_CACHE)))
         _WATERMARK_CACHE[key] = bc
     if bc.noop:
-        return codec.encode(template)
+        return codec.encode(template if template is not None
+                            else codec.decode(data))
     return next(iter(bc.watermark_stream(iter([data]), batch=1,
                                          surgical=surgical)))
 
