@@ -172,8 +172,14 @@ def watermark(data: bytes, dropon: "Dropon", align: int = 0,
 
     # header-only geometry probe where possible: on a cache HIT the stream's
     # band splice is then the ONLY entropy work (a full template decode per
-    # call would halve the splice's benefit for repeat-logo workloads)
+    # call would halve the splice's benefit for repeat-logo workloads).
+    # DNL-deferred-height streams carry height 0 in the SOF — the real
+    # height only exists after a decode — so they must NOT share a
+    # header-probe key (same-skeleton DNL files of different heights would
+    # collide and composite at the wrong rows).
     st = parse_structure(data)
+    if st is not None and st.height == 0:
+        st = None
     template = None
     if st is not None:
         gkey = st.geometry_key()

@@ -167,3 +167,35 @@ def test_dnl_respects_max_pixel():
     data = _patch_dnl(codec.encode(from_pixels(pix, subsampling="420")), 48)
     with pytest.raises(Exception, match="max_pixel"):
         codec.decode(data, max_pixel=100)
+
+
+def test_dnl_files_do_not_share_watermark_cache_key():
+    """Round-5 regression (caught in review): watermark()'s header-only
+    geometry probe must NOT key DNL streams by their SOF height (always
+    0) — two same-skeleton DNL files of different real heights would
+    collide in the composer cache and composite at the wrong rows."""
+    import libmodjpeg_tpu as mj
+
+    rng = np.random.RandomState(31)
+    datas = []
+    for h in (48, 480):
+        pix = make_gradient_pixels(rng, 64, h)
+        datas.append(_patch_dnl(codec.encode(from_pixels(
+            pix, quality=85, subsampling="420")), h))
+    logo = np.full((16, 32, 4), 200, np.uint8)
+    d = mj.read_dropon_from_raw(logo, mj.COLORSPACE_RGBA, 32, 16)
+    mj._WATERMARK_CACHE.clear()
+    # warm the cache with the SHORT file, then watermark the TALL one:
+    # its logo must land at ITS bottom, not the short file's
+    out_short = mj.watermark(datas[0], d, mj.ALIGN_BOTTOM)
+    out_tall = mj.watermark(datas[1], d, mj.ALIGN_BOTTOM)
+    mj._WATERMARK_CACHE.clear()
+    out_tall_fresh = mj.watermark(datas[1], d, mj.ALIGN_BOTTOM)
+    assert out_tall == out_tall_fresh
+    a = codec.decode(out_tall)
+    b = codec.decode(datas[1])
+    diff_rows = np.nonzero((a.coefs[0] != b.coefs[0]).any(axis=(1, 2, 3)))[0]
+    assert diff_rows.size and diff_rows.min() >= (480 - 16) // 8 - 2, \
+        diff_rows
+    assert len(out_short) > 0
+    mj._WATERMARK_CACHE.clear()
