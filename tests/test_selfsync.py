@@ -25,7 +25,7 @@ def _assert_parallel_matches_serial(img, data):
                                       err_msg=f"component {c}")
 
 
-@pytest.mark.parametrize("samp", ["420", "444", "422", "gray"])
+@pytest.mark.parametrize("samp", ["420", "444", "422", "411", "gray"])
 def test_selfsync_bit_identical(samp):
     """Large sequential restart-free files: parallel == serial, bit for
     bit, across samplings (interleaved MCU cycles of 6/3/4 blocks and the

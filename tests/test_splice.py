@@ -287,3 +287,42 @@ def test_surgical_optimized_tables_fallback():
     assert outs == outs_full
     if bc.last_stream_path == "mixed":
         assert any("tables lack" in k for k in bc.last_fallback_reasons)
+
+
+@pytest.mark.parametrize("mode,sub", [("RGB", "444"), ("RGB", "422"),
+                                      ("L", None)])
+def test_band_splice_other_samplings(mode, sub):
+    """Band splice across 4:4:4 / 4:2:2 / grayscale geometries (MCU-row
+    math differs per sampling): unmodified reproduces the original;
+    modified equals the full pipeline."""
+    rng = np.random.default_rng(41)
+    data = encode_pil(_noisy(rng, 320, 416), mode=mode, quality=86,
+                      subsampling=sub)
+    full = codec.decode(data)
+    img, sp = codec.decode_band(data, 6, 14)
+    assert codec.encode_splice_band(data, img, 6, 14, sp) == data
+    nc = len(full.coefs)
+    v = full.components[0].v_samp
+    mod = codec.decode(data)
+    for tgt in (img, mod):
+        tgt.coefs[0][6 * v, 2, 0, 0] += 3
+    assert codec.encode_splice_band(data, img, 6, 14, sp) == \
+        codec.encode(mod)
+    assert nc in (1, 3)
+
+
+def test_band_splice_12bit_unmodified():
+    """12-bit sequential (optimized tables forced): an unmodified band
+    splice must still reproduce the original byte for byte (all copied
+    symbols exist in the original tables by construction)."""
+    from libmodjpeg_tpu.encode_pixels import from_pixels
+
+    rng = np.random.default_rng(43)
+    img = from_pixels(_noisy(rng, 256, 320), quality=90, subsampling="420")
+    for c in range(len(img.coefs)):
+        img.coefs[c] = (img.coefs[c].astype(np.int32) * 3).clip(
+            -2047, 2047).astype(np.int16)
+    img.precision = 12
+    data = codec.encode(img)
+    band, sp = codec.decode_band(data, 4, 12)
+    assert codec.encode_splice_band(data, band, 4, 12, sp) == data
